@@ -8,7 +8,9 @@ top-of-module placement and the sitecustomize-style guard.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (the environment pre-sets JAX_PLATFORMS to the TPU plugin;
+# tests must run on the virtual CPU mesh regardless)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,162 @@
+"""Data layer tests: CSR codec, device decode, split prep, loaders, samplers."""
+
+import numpy as np
+import pytest
+
+from multi_modal_foundation_model_tpu.data import (
+    DataLoader,
+    attention_mask,
+    decode_spikes_on_device,
+    dense_to_sparse_rows,
+    flatten_csr_rows,
+    get_length_grouped_indices,
+    get_length_grouped_indices_stitched,
+    make_loader,
+    pad_seq_left_to_n,
+    pad_seq_right_to_n,
+    prepare_split,
+    sparse_rows_to_dense,
+    synthetic_session,
+    synthetic_splits,
+)
+
+
+def test_csr_roundtrip(rng):
+    spikes = rng.poisson(0.5, size=(4, 10, 7)).astype(np.float32)
+    enc = dense_to_sparse_rows(spikes)
+    dec = sparse_rows_to_dense(*enc)
+    np.testing.assert_array_equal(dec, spikes)
+
+
+def test_device_decode_matches_host(rng):
+    spikes = rng.poisson(0.8, size=(3, 12, 9)).astype(np.float32)
+    enc = dense_to_sparse_rows(spikes)
+    flat = flatten_csr_rows(*enc, max_nnz=200)
+    dense = np.asarray(decode_spikes_on_device(*flat, T=12, N=9))
+    np.testing.assert_array_equal(dense, spikes)
+
+
+def test_flatten_csr_nnz_guard(rng):
+    spikes = np.ones((1, 4, 4), dtype=np.float32)
+    enc = dense_to_sparse_rows(spikes)
+    with pytest.raises(ValueError):
+        flatten_csr_rows(*enc, max_nnz=3)
+
+
+def test_pad_helpers():
+    seq = np.arange(6, dtype=float).reshape(3, 2)
+    right = pad_seq_right_to_n(seq, 5, pad_value=-1.0)
+    assert right.shape == (5, 2)
+    assert (right[3:] == -1).all()
+    left = pad_seq_left_to_n(seq, 5, pad_value=0.0)
+    assert (left[:2] == 0).all()
+    np.testing.assert_array_equal(left[2:], seq)
+
+    m = attention_mask(5, 2)
+    np.testing.assert_array_equal(m, [1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(attention_mask(3, 0), [1, 1, 1])
+
+
+def test_synthetic_session_coupling():
+    sess = synthetic_session(seed=0, n_trials=50, n_neurons=32)
+    assert sess.spikes.shape == (50, 100, 32)
+    assert sess.behavior.shape == (50, 100, 2)
+    assert sess.spikes.min() >= 0
+    # behavior and population rate must be correlated (shared latents)
+    pop = sess.spikes.sum(-1).ravel()
+    beh = sess.behavior[..., 0].ravel()
+    corr = np.corrcoef(pop, beh)[0, 1]
+    assert abs(corr) > 0.05
+
+
+def test_prepare_split_shapes_and_masks():
+    sess = synthetic_session(seed=1, n_trials=10, n_timesteps=50, n_neurons=20)
+    arrays = prepare_split(sess, max_time_length=60, max_space_length=32)
+    assert arrays["spikes_data"].shape == (10, 60, 32)
+    assert arrays["target"].shape == (10, 60, 2)
+    np.testing.assert_array_equal(arrays["time_attn_mask"][0, :50], 1)
+    np.testing.assert_array_equal(arrays["time_attn_mask"][0, 50:], 0)
+    np.testing.assert_array_equal(arrays["space_attn_mask"][0, :20], 1)
+    np.testing.assert_array_equal(arrays["space_attn_mask"][0, 20:], 0)
+    # padded neurons get region id -1
+    assert (arrays["region_ids"][20:] == -1).all()
+    assert (arrays["region_ids"][:20] >= 0).all()
+
+
+def test_prepare_split_sort_by_depth():
+    sess = synthetic_session(seed=2, n_trials=4, n_neurons=16)
+    # scramble depths
+    sess.neuron_depths[:] = np.random.default_rng(0).permutation(16).astype(np.float32)
+    arrays = prepare_split(sess, max_time_length=100, max_space_length=16,
+                           sort_by_depth=True)
+    assert (np.diff(arrays["neuron_depths"]) >= 0).all()
+
+
+def test_prepare_split_truncation():
+    sess = synthetic_session(seed=3, n_trials=4, n_timesteps=120, n_neurons=40)
+    arrays = prepare_split(sess, max_time_length=100, max_space_length=30)
+    assert arrays["spikes_data"].shape == (4, 100, 30)
+    np.testing.assert_array_equal(arrays["time_attn_mask"], 1)
+
+
+def test_loader_batches_fixed_shape():
+    sess = synthetic_session(seed=4, n_trials=21, n_neurons=12)
+    loader = make_loader(sess, batch_size=8, max_time_length=100,
+                         max_space_length=12, shuffle=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["spikes_data"].shape == (8, 100, 12)
+    # last batch: 5 real, padding trials have zero attention
+    last = batches[-1]
+    assert last["n_real"] == 5
+    assert (last["time_attn_mask"][5:] == 0).all()
+    assert (last["time_attn_mask"][0] == 1).all()
+
+
+def test_loader_deterministic_given_seed_epoch():
+    sess = synthetic_session(seed=5, n_trials=32, n_neurons=8)
+    l1 = make_loader(sess, batch_size=8, max_space_length=8, seed=3)
+    l2 = make_loader(sess, batch_size=8, max_space_length=8, seed=3)
+    b1 = [b["spikes_data"] for b in l1]
+    b2 = [b["spikes_data"] for b in l2]
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)
+    # next epoch differs
+    b3 = [b["spikes_data"] for b in l1]
+    assert any(not np.array_equal(x, y) for x, y in zip(b1, b3))
+
+
+def test_length_grouped_indices_cover_all():
+    lengths = list(np.random.default_rng(0).integers(5, 50, size=37))
+    idx = get_length_grouped_indices(lengths, batch_size=4,
+                                     generator=np.random.default_rng(1))
+    assert sorted(idx) == list(range(37))
+
+
+def test_stitch_grouped_indices_group_same_lengths():
+    lengths = [10] * 8 + [20] * 8
+    idx = get_length_grouped_indices_stitched(
+        lengths, batch_size=4, generator=np.random.default_rng(0))
+    assert sorted(idx) == list(range(16))
+    # every batch of 4 must be single-length
+    for i in range(0, 16, 4):
+        batch_lengths = {lengths[j] for j in idx[i:i + 4]}
+        assert len(batch_lengths) == 1
+
+
+def test_synthetic_splits():
+    splits = synthetic_splits(seed=0, n_trials=40, n_neurons=16)
+    assert splits.train.n_trials == 32
+    assert splits.val.n_trials == 4
+    assert splits.test.n_trials == 4
+    assert splits.n_neurons == 16
+
+
+def test_target_selection():
+    sess = synthetic_session(seed=6, n_trials=4, n_neurons=8)
+    loader = make_loader(sess, batch_size=4, max_space_length=8,
+                         target=["whisker-motion-energy"])
+    batch = next(iter(loader))
+    assert batch["target"].shape[-1] == 1
+    np.testing.assert_array_equal(batch["target"][..., 0].shape, (4, 100))
