@@ -1,0 +1,309 @@
+"""Transformer building blocks (flax linen) and tokenizers.
+
+Functional rebuilds of the reference primitives:
+
+- ``ModalityTokenizer``      <- EncoderEmbeddingLayer / DecoderEmbeddingLayer
+  token path (``/root/reference/src/multi_modal/encoder_embeddings.py:19-61``,
+  ``decoder_embeddings.py:19-61``): Dense(C -> C*mult) -> act -> *scale ->
+  Dense(-> H) -> dropout. Positional/modality embeddings are owned by the
+  parent model (so modality-embedding *sharing* between encoder and decoder
+  is plain module reuse instead of post-hoc aliasing; cf. ``mm.py:84-87``).
+- ``Attention``/``CrossAttention``  <- ``mm_utils.py:76-152``, with the
+  fused Pallas/XLA kernel from ``ops.attention`` instead of torch SDPA.
+- ``MLP``, ``ScaleNorm``     <- ``mm_utils.py:31-52``.
+- ``EncoderLayer``/``DecoderLayer`` pre-norm residual blocks with fixup
+  initialization (``encoder_embeddings.py:91-129``,
+  ``decoder_embeddings.py:112-160``): output-projection kernels scaled by
+  ``0.67 * n_layers**-0.25`` and value kernels additionally by sqrt(2).
+
+Initialization matches torch defaults (U(+-1/sqrt(fan_in)) for Dense kernel
+and bias; N(0,1) for embeddings) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import multi_head_attention
+
+ACT2FN = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "softsign": nn.soft_sign,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+Dtype = Any
+
+
+def torch_linear_init(scale: float = 1.0) -> Callable:
+    """Kernel init: U(+-1/sqrt(fan_in)) * scale (torch Linear default,
+    optionally fixup-rescaled). Dense kernels are (fan_in, fan_out)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(shape[0])
+        return jax.random.uniform(key, shape, dtype, -bound, bound) * scale
+
+    return init
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """Bias init: U(+-1/sqrt(fan_in)) (torch Linear default)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def fixup_scaled_init(n_layers: int, value: bool = False) -> Callable:
+    """Fixup rescaling of the torch-default init (reference
+    ``fixup_initialization``): ``0.67 * n_layers**-0.25`` for *_proj
+    kernels, x sqrt(2) more for value kernels."""
+    factor = 0.67 * float(n_layers) ** (-0.25)
+    if value:
+        factor *= np.sqrt(2.0)
+    return torch_linear_init(scale=factor)
+
+
+def _dense(features: int, fan_in: int, use_bias: bool = True,
+           kernel_init: Optional[Callable] = None, name: Optional[str] = None,
+           dtype: Dtype = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=kernel_init or torch_linear_init(),
+        bias_init=torch_bias_init(fan_in),
+        name=name,
+        dtype=dtype,
+    )
+
+
+class ScaleNorm(nn.Module):
+    """Learned-scale RMS-style norm (``mm_utils.py:31-39``)."""
+
+    scale_init: float
+    eps: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", lambda k: jnp.asarray(self.scale_init,
+                                                          jnp.float32))
+        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+        out = x * (scale / jnp.clip(norm, self.eps, None)).astype(x.dtype)
+        return out
+
+
+class MLP(nn.Module):
+    """up-proj -> act -> down-proj -> dropout (``mm_utils.py:42-52``)."""
+
+    hidden_size: int
+    inter_size: int
+    act: str
+    use_bias: bool
+    dropout: float
+    n_layers_fixup: Optional[int] = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        fix = self.n_layers_fixup
+        up_init = fixup_scaled_init(fix) if fix else torch_linear_init()
+        down_init = fixup_scaled_init(fix) if fix else torch_linear_init()
+        x = _dense(self.inter_size, self.hidden_size, self.use_bias,
+                   kernel_init=up_init, name="up_proj", dtype=self.dtype)(x)
+        x = ACT2FN[self.act](x)
+        x = _dense(self.hidden_size, self.inter_size, self.use_bias,
+                   kernel_init=down_init, name="down_proj", dtype=self.dtype)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class Attention(nn.Module):
+    """Self-attention with fused kernel (``mm_utils.py:76-114``)."""
+
+    hidden_size: int
+    n_heads: int
+    use_bias: bool
+    dropout: float
+    n_layers_fixup: Optional[int] = None
+    attn_impl: str = "pallas"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h, fan = self.hidden_size, self.hidden_size
+        fix = self.n_layers_fixup
+        q = _dense(h, fan, self.use_bias, name="query", dtype=self.dtype)(x)
+        k = _dense(h, fan, self.use_bias, name="key", dtype=self.dtype)(x)
+        v = _dense(h, fan, self.use_bias,
+                   kernel_init=(fixup_scaled_init(fix, value=True) if fix
+                                else torch_linear_init()),
+                   name="value", dtype=self.dtype)(x)
+        drop_rate = 0.0 if deterministic else self.dropout
+        drop_key = (self.make_rng("dropout")
+                    if drop_rate > 0.0 else None)
+        out = multi_head_attention(
+            q, k, v, self.n_heads, mask=mask,
+            dropout_rate=drop_rate, dropout_key=drop_key,
+            impl=self.attn_impl)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return _dense(h, fan, self.use_bias,
+                      kernel_init=(fixup_scaled_init(fix) if fix
+                                   else torch_linear_init()),
+                      name="out_proj", dtype=self.dtype)(out)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention: K/V from context (``mm_utils.py:118-152``)."""
+
+    hidden_size: int
+    n_heads: int
+    use_bias: bool
+    dropout: float
+    n_layers_fixup: Optional[int] = None
+    attn_impl: str = "pallas"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, context, mask=None, deterministic: bool = True):
+        h, fan = self.hidden_size, self.hidden_size
+        fix = self.n_layers_fixup
+        q = _dense(h, fan, self.use_bias, name="query", dtype=self.dtype)(x)
+        k = _dense(h, fan, self.use_bias, name="key", dtype=self.dtype)(context)
+        v = _dense(h, fan, self.use_bias,
+                   kernel_init=(fixup_scaled_init(fix, value=True) if fix
+                                else torch_linear_init()),
+                   name="value", dtype=self.dtype)(context)
+        drop_rate = 0.0 if deterministic else self.dropout
+        drop_key = (self.make_rng("dropout")
+                    if drop_rate > 0.0 else None)
+        out = multi_head_attention(
+            q, k, v, self.n_heads, mask=mask,
+            dropout_rate=drop_rate, dropout_key=drop_key,
+            impl=self.attn_impl)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return _dense(h, fan, self.use_bias,
+                      kernel_init=(fixup_scaled_init(fix) if fix
+                                   else torch_linear_init()),
+                      name="out_proj", dtype=self.dtype)(out)
+
+
+def _norm(cfg, name: str, dtype: Dtype):
+    if cfg.use_scalenorm:
+        return ScaleNorm(cfg.hidden_size ** 0.5, name=name, dtype=dtype)
+    return nn.LayerNorm(name=name, dtype=dtype)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-norm residual block: x + attn(ln(x)); x + mlp(ln(x))
+    (``encoder_embeddings.py:91-116``)."""
+
+    cfg: Any            # transformer config node
+    attn_impl: str = "pallas"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        cfg = self.cfg
+        fix = cfg.n_layers if cfg.fixup_init else None
+        x = x + Attention(cfg.hidden_size, cfg.n_heads, cfg.attention_bias,
+                          cfg.dropout, n_layers_fixup=fix,
+                          attn_impl=self.attn_impl, name="attn",
+                          dtype=self.dtype)(
+            _norm(cfg, "ln1", self.dtype)(x), mask, deterministic)
+        x = x + MLP(cfg.hidden_size, cfg.inter_size, cfg.act, cfg.mlp_bias,
+                    cfg.dropout, n_layers_fixup=fix, name="mlp",
+                    dtype=self.dtype)(
+            _norm(cfg, "ln2", self.dtype)(x), deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Self-attn + cross-attn + MLP residual block
+    (``decoder_embeddings.py:112-147``)."""
+
+    cfg: Any
+    attn_impl: str = "pallas"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, context, sa_mask=None, xa_mask=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        fix = cfg.n_layers if cfg.fixup_init else None
+        x = x + Attention(cfg.hidden_size, cfg.n_heads, cfg.attention_bias,
+                          cfg.dropout, n_layers_fixup=fix,
+                          attn_impl=self.attn_impl, name="attn",
+                          dtype=self.dtype)(
+            _norm(cfg, "ln1", self.dtype)(x), sa_mask, deterministic)
+        x = x + CrossAttention(cfg.hidden_size, cfg.n_heads,
+                               cfg.attention_bias, cfg.dropout,
+                               n_layers_fixup=fix, attn_impl=self.attn_impl,
+                               name="cross_attn", dtype=self.dtype)(
+            _norm(cfg, "query_norm", self.dtype)(x),
+            _norm(cfg, "context_norm", self.dtype)(context),
+            xa_mask, deterministic)
+        x = x + MLP(cfg.hidden_size, cfg.inter_size, cfg.act, cfg.mlp_bias,
+                    cfg.dropout, n_layers_fixup=fix, name="mlp",
+                    dtype=self.dtype)(
+            _norm(cfg, "ln2", self.dtype)(x), deterministic)
+        return x
+
+
+class ModalityTokenizer(nn.Module):
+    """Per-modality token embedding: Dense(C -> C*mult) -> act -> *scale ->
+    Dense(-> H) -> dropout (token path of the reference embedding layers)."""
+
+    n_channels: int
+    hidden_size: int
+    mult: int
+    act: str
+    scale: float
+    use_bias: bool
+    dropout: float
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, inputs, deterministic: bool = True):
+        inter = self.n_channels * self.mult
+        x = _dense(inter, self.n_channels, self.use_bias, name="token_embed",
+                   dtype=self.dtype)(inputs)
+        x = ACT2FN[self.act](x) * self.scale
+        x = _dense(self.hidden_size, inter, True, name="projection",
+                   dtype=self.dtype)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class FactorsProjection(nn.Module):
+    """Optional bottleneck head (``mm_utils.py:55-73``); kept for API parity
+    — not constructed in the live model path, mirroring the reference."""
+
+    hidden_size: int
+    size: int
+    act: str = "relu"
+    use_bias: bool = True
+    dropout: float = 0.0
+    active: bool = True
+    init_range: float = 0.02
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if not self.active:
+            return x
+        x = nn.Dense(
+            self.size, use_bias=self.use_bias,
+            kernel_init=nn.initializers.uniform(scale=2 * self.init_range),
+            bias_init=nn.initializers.zeros,
+            name="proj", dtype=self.dtype)(x)
+        return ACT2FN[self.act](x)

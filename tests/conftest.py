@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+
+# jax is already imported by the environment's sitecustomize before this file
+# runs, so the env var alone is not enough — force the platform via config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
