@@ -1,0 +1,237 @@
+"""Model-level tests: MultiModal forward semantics, baselines, init scaling.
+
+SURVEY.md §4.2: token concat order, batch-uniform masking, loss
+normalization (sum mod losses / sum masked counts), shared modality
+embeddings, fixup init.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_foundation_model_tpu.models import (
+    BaselineDecoder,
+    BaselineEncoder,
+    ModalityInput,
+    MultiModal,
+    MultiModalConfig,
+    RegionLookup,
+)
+from multi_modal_foundation_model_tpu.ops import MaskParams, RegionSets
+
+B, T, N_AP, N_BEH = 3, 10, 16, 2
+
+
+def tiny_config(**over):
+    defaults = dict(
+        n_channels={"ap": N_AP, "behavior": N_BEH},
+        max_F=T,
+        hidden_size=32,
+        n_enc_layers=2,
+        n_dec_layers=2,
+        n_heads=4,
+        inter_size=64,
+        dropout=0.0,
+        embed_dropout=0.0,
+        mask_params=MaskParams(ratio=0.3),
+        attn_impl="xla",
+    )
+    defaults.update(over)
+    return MultiModalConfig(**defaults)
+
+
+def make_inputs(rng, eval_mask_ap=None, eval_mask_beh=None):
+    spikes = jnp.asarray(rng.poisson(1.0, (B, T, N_AP)).astype(np.float32))
+    beh = jnp.asarray(rng.normal(size=(B, T, N_BEH)).astype(np.float32))
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+    return {
+        "ap": ModalityInput(inputs=spikes, targets=spikes, attn_mask=attn,
+                            timestamps=ts, eval_mask=eval_mask_ap),
+        "behavior": ModalityInput(inputs=beh, targets=beh, attn_mask=attn,
+                                  timestamps=ts, eval_mask=eval_mask_beh),
+    }
+
+
+@pytest.fixture
+def model_and_params(rng):
+    cfg = tiny_config()
+    model = MultiModal(cfg)
+    inputs = make_inputs(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        inputs, training=False)
+    return model, params, inputs
+
+
+def test_forward_shapes_and_finite(model_and_params):
+    model, params, inputs = model_and_params
+    out = model.apply(params, inputs, rngs={"mask": jax.random.PRNGKey(2)})
+    assert out.mod_preds["ap"].shape == (B, T, N_AP)
+    assert out.mod_preds["behavior"].shape == (B, T, N_BEH)
+    assert np.isfinite(float(out.loss))
+    assert float(out.loss) > 0
+
+
+def test_loss_normalization(model_and_params):
+    """loss == sum(mod losses) / sum(masked counts) — mm.py:237."""
+    model, params, inputs = model_and_params
+    out = model.apply(params, inputs, rngs={"mask": jax.random.PRNGKey(3)})
+    total = sum(float(v) for v in out.mod_loss.values())
+    n = sum(float(v) for v in out.mod_n_examples.values())
+    assert np.isclose(float(out.loss), total / n, rtol=1e-6)
+
+
+def test_eval_mask_controls_loss_targets(model_and_params, rng):
+    """encoding objective: all-spikes eval mask -> behavior loss weight 0."""
+    model, params, _ = model_and_params
+    inputs = make_inputs(
+        rng,
+        eval_mask_ap=jnp.ones((B, T, N_AP), jnp.int32),
+        eval_mask_beh=jnp.zeros((B, T, N_BEH), jnp.int32))
+    out = model.apply(params, inputs, rngs={"mask": jax.random.PRNGKey(4)})
+    assert float(out.mod_n_examples["behavior"]) == 0.0
+    assert float(out.mod_n_examples["ap"]) == B * T * N_AP
+
+
+def test_masking_mode_produces_spike_mask_loss(model_and_params, rng):
+    model, params, _ = model_and_params
+    inputs = make_inputs(rng)
+    out = model.apply(params, inputs, masking_mode="temporal",
+                      training=False,
+                      rngs={"mask": jax.random.PRNGKey(5)})
+    # element mask from sampled temporal mask: multiple of full channels
+    n_ap = float(out.mod_n_examples["ap"])
+    assert n_ap > 0 and n_ap % N_AP == 0
+
+
+def test_mtm_traced_mode_id(model_and_params, rng):
+    model, params, _ = model_and_params
+    inputs = make_inputs(rng)
+    region_ids = np.repeat(np.arange(4, dtype=np.int32), N_AP // 4)
+    regions = RegionSets.build(region_ids)
+    modes = ("temporal", "neuron", "inter-region", "intra-region")
+
+    @jax.jit
+    def forward(params, mode_id, key):
+        return model.apply(params, inputs, masking_mode=mode_id,
+                           mtm_modes=modes, regions=regions,
+                           rngs={"mask": key}).loss
+
+    losses = [float(forward(params, jnp.int32(i), jax.random.PRNGKey(6)))
+              for i in range(len(modes))]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_batch_uniform_token_zeroing(model_and_params, rng):
+    """Tokens masked by element 0 are zeroed for ALL elements: perturbing a
+    masked timestep of any trial's spikes must not change the encoder
+    context for other trials (mm.py:147-149)."""
+    model, params, _ = model_and_params
+    mask_ap = jnp.zeros((B, T, N_AP), jnp.int32).at[:, 3, :].set(1)
+    mask_beh = jnp.zeros((B, T, N_BEH), jnp.int32)
+    inputs = make_inputs(rng, eval_mask_ap=mask_ap, eval_mask_beh=mask_beh)
+    out1 = model.apply(params, inputs, rngs={"mask": jax.random.PRNGKey(7)})
+
+    # change spikes only at the masked timestep of trial 1 — inputs to the
+    # transformer are zeroed there, so predictions must be identical
+    spikes2 = inputs["ap"].inputs.at[1, 3, :].add(100.0)
+    inputs2 = dict(inputs)
+    inputs2["ap"] = ModalityInput(
+        inputs=spikes2, targets=inputs["ap"].targets,
+        attn_mask=inputs["ap"].attn_mask,
+        timestamps=inputs["ap"].timestamps, eval_mask=mask_ap)
+    out2 = model.apply(params, inputs2, rngs={"mask": jax.random.PRNGKey(7)})
+    np.testing.assert_allclose(np.asarray(out1.mod_preds["ap"]),
+                               np.asarray(out2.mod_preds["ap"]),
+                               atol=1e-5)
+
+
+def test_shared_modality_embeddings():
+    cfg = tiny_config(share_modality_embeddings=True)
+    model = MultiModal(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        make_inputs(rng), training=False)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    # only the encoder tables exist when shared
+    assert any("enc_mod_emb_ap" in n for n in names)
+    assert not any("dec_mod_emb_ap" in n for n in names)
+
+    cfg2 = tiny_config(share_modality_embeddings=False)
+    params2 = MultiModal(cfg2).init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        make_inputs(rng), training=False)
+    names2 = {"/".join(str(p) for p in path)
+              for path, _ in jax.tree_util.tree_leaves_with_path(params2)}
+    assert any("dec_mod_emb_ap" in n for n in names2)
+
+
+def test_fixup_init_scaling():
+    """out_proj kernels must be ~fixup-factor smaller than query kernels."""
+    cfg = tiny_config(fixup_init=True, n_enc_layers=4)
+    rng = np.random.default_rng(0)
+    params = MultiModal(cfg).init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        make_inputs(rng), training=False)["params"]
+    enc0 = params["encoder_0"]["attn"]
+    q_std = float(np.std(enc0["query"]["kernel"]))
+    o_std = float(np.std(enc0["out_proj"]["kernel"]))
+    v_std = float(np.std(enc0["value"]["kernel"]))
+    factor = 0.67 * 4 ** (-0.25)
+    assert abs(o_std / q_std - factor) < 0.1
+    assert abs(v_std / q_std - factor * np.sqrt(2)) < 0.15
+
+
+def test_grad_flows(model_and_params, rng):
+    model, params, inputs = model_and_params
+
+    def loss_fn(p):
+        return model.apply(p, inputs, training=False,
+                           rngs={"mask": jax.random.PRNGKey(8)}).loss
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
+
+
+def test_baseline_encoder(rng):
+    beh = jnp.asarray(rng.normal(size=(B, T, N_BEH)).astype(np.float32))
+    spikes = jnp.asarray(rng.poisson(1.0, (B, T, N_AP)).astype(np.float32))
+    model = BaselineEncoder(in_channel=N_BEH, out_channel=N_AP, seq_len=T)
+    params = model.init(jax.random.PRNGKey(0),
+                        {"inputs": beh, "targets": spikes})
+    out = model.apply(params, {"inputs": beh, "targets": spikes})
+    assert out.preds.shape == (B, T, N_AP)
+    assert np.isfinite(float(out.loss))
+    # poisson nll normalized by batch size
+    log_rates = np.asarray(out.preds, np.float64)
+    expected = (np.exp(log_rates) - np.asarray(spikes) * log_rates).sum() / B
+    assert np.isclose(float(out.loss), expected, rtol=1e-4)
+
+
+def test_baseline_decoder(rng):
+    spikes = jnp.asarray(rng.poisson(1.0, (B, T, N_AP)).astype(np.float32))
+    beh = jnp.asarray(rng.normal(size=(B, T, N_BEH)).astype(np.float32))
+    model = BaselineDecoder(in_channel=N_AP, out_channel=N_BEH)
+    params = model.init(jax.random.PRNGKey(0),
+                        {"inputs": spikes, "targets": beh})
+    out = model.apply(params, {"inputs": spikes, "targets": beh})
+    assert out.preds.shape == (B, T, N_BEH)
+    expected = np.square(np.asarray(out.preds) - np.asarray(beh)).sum() / B
+    assert np.isclose(float(out.loss), expected, rtol=1e-5)
+
+
+def test_region_lookup_roundtrip():
+    lut = RegionLookup()
+    regions = np.array([["CA1", "DG", "nan"], ["DG", "CA1", "LP"]])
+    ids = lut(regions)
+    assert ids.shape == regions.shape
+    assert ids[0, 2] == -1
+    assert ids[0, 0] == ids[1, 1]  # same acronym, same id
+    back = lut.lookup_regions(ids[:, :2])
+    np.testing.assert_array_equal(back, regions[:, :2])
