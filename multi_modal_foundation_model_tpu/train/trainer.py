@@ -1,0 +1,589 @@
+"""Trainer layer: jitted train/eval steps, MtM scheduling, DP over a mesh.
+
+Behavioral rebuild of the reference trainer
+(``/root/reference/src/trainer/base.py``) with TPU-first execution:
+
+- **One compiled step per (training-objective, masking-path).** The reference
+  re-randomizes the MtM masking scheme and the mixed-training objective per
+  batch host-side (``trainer/base.py:186-190``). Here the objective
+  ('encoding'/'decoding'/'token_masking') stays a static argument (3 cheap
+  compilations), while the MtM scheme rides a *traced* ``scheme_id`` through
+  ``lax.switch`` (ops/masking.apply_mask_by_id) so every scheme shares one
+  program.
+- **mod_dict contract parity.** ``_build_mod_inputs`` reproduces
+  ``_forward_model_outputs`` (``trainer/base.py:51-103``): per-objective
+  eval-mask construction, and `masking_mode` taking precedence over
+  ``eval_mask`` whenever ``mask_type == "input"`` (``mm.py:256-263``).
+- **Data parallelism** via ``jax.sharding``: params replicated, batch sharded
+  on the mesh 'data' axis; XLA inserts the gradient all-reduce over ICI. No
+  hand-written collectives.
+- **Keyed RNG.** The reference leans on global python/torch RNG; here every
+  stochastic choice derives from ``fold_in(base_key, step)`` so runs are
+  reproducible per (seed, step) and identical across hosts (SURVEY.md §7
+  "RNG discipline").
+- **Checkpoints** are orbax pytrees {params, opt_state, step, epoch} with
+  best-on-eval-trial-avg-R² selection (``trainer/base.py:116-120``) instead
+  of whole-module pickles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from ..data.loader import DataLoader
+from ..eval.metrics import metrics_list
+from ..models.baseline import BaselineOutput
+from ..models.multimodal import ModalityInput, MultiModalOutput
+from ..ops.masking import RegionSets, mode_to_id
+from .checkpoint import save_checkpoint
+from .logging import MetricLogger
+from .schedule import OptimizerConfig, make_optimizer
+
+TRAINING_SCHEMES = ("encoding", "decoding", "token_masking")
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Static trainer hyperparameters (configs/multi_modal/trainer_mm.yaml)."""
+
+    num_epochs: int = 2000
+    mask_type: str = "embd"                  # "embd" | "input" (MtM)
+    mask_mode: Tuple[str, ...] = ("temporal",)
+    mixed_training: bool = False
+    save_every: int = 100
+    eval_every: int = 1
+    metric: str = "r2"
+    seed: int = 42
+    log_dir: str = "results"
+    mask_regions: Tuple[str, ...] = ("all",)
+    target_regions: Tuple[str, ...] = ("all",)
+
+    @classmethod
+    def from_config(cls, cfg, **overrides) -> "TrainerConfig":
+        t = cfg.training
+        kw = dict(
+            num_epochs=int(t.num_epochs),
+            mask_type=str(t.get("mask_type", "embd")),
+            mask_mode=tuple(t.get("mask_mode", ["temporal"])),
+            save_every=int(t.get("save_every", 100)),
+            seed=int(cfg.get("seed", 42)),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def _host_sample(rng: np.random.Generator, options: Sequence[str]) -> str:
+    """Per-batch host-side choice (the reference's ``random.sample(x,1)[0]``,
+    ``trainer/base.py:186-190``), driven by a seeded numpy generator."""
+    return options[int(rng.integers(len(options)))]
+
+
+class MultiModalTrainer:
+    """Drives MultiModal training: MtM + mixed objectives, eval, checkpoints.
+
+    ``mesh`` (optional) enables data parallelism: batches are sharded over
+    the 'data' axis, parameters replicated. ``batch_size`` must then divide
+    by the data-axis size.
+    """
+
+    def __init__(
+        self,
+        model,
+        train_dataloader: DataLoader,
+        eval_dataloader: Optional[DataLoader],
+        optimizer_config: OptimizerConfig,
+        trainer_config: TrainerConfig,
+        *,
+        test_dataloader: Optional[DataLoader] = None,
+        modal_filter: Optional[Dict[str, List[str]]] = None,
+        num_neurons: Optional[Sequence[int]] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.model = model
+        self.train_dataloader = train_dataloader
+        self.eval_dataloader = eval_dataloader
+        self.test_dataloader = test_dataloader
+        self.ocfg = optimizer_config
+        self.tcfg = trainer_config
+        self.modal_filter = modal_filter or {
+            "input": list(model.config.avail_mod),
+            "output": list(model.config.avail_mod)}
+        self.num_neurons = list(num_neurons) if num_neurons else None
+        self.mesh = mesh
+        self.logger = logger or MetricLogger(trainer_config.log_dir)
+        self.metric = trainer_config.metric
+
+        self.avail_mod = list(model.config.avail_mod)
+        self.mod_to_indx = {m: i for i, m in enumerate(self.avail_mod)}
+        self.single_modal = len(self.modal_filter["output"]) == 1
+
+        # MtM scheme menu (mask_type == "input"), else fixed masker config
+        self.masking_schemes = (list(self.tcfg.mask_mode)
+                                if self.tcfg.mask_type == "input" else None)
+        self.mixed_training = self.tcfg.mixed_training
+
+        # regions for region-conditioned masking, from the train split
+        arrays = train_dataloader.arrays
+        self.regions = RegionSets.build(
+            arrays["region_ids"],
+            mask_regions=self.tcfg.mask_regions,
+            target_regions=self.tcfg.target_regions,
+            region_vocab=arrays["region_vocab"])
+
+        self.base_key = jax.random.PRNGKey(self.tcfg.seed)
+        self._host_rng = np.random.default_rng(self.tcfg.seed)
+
+        total_steps = (self.tcfg.num_epochs * len(train_dataloader)
+                       // self.ocfg.gradient_accumulation_steps)
+        self.tx, self.schedule = make_optimizer(self.ocfg, max(total_steps, 1))
+
+        self.state = self._init_state()
+        self._train_steps: Dict[Any, Any] = {}
+        self._eval_steps: Dict[Any, Any] = {}
+        self.session_active_neurons: List[List[int]] = []
+
+    # ------------------------------------------------------------------
+    # initialization / sharding
+    # ------------------------------------------------------------------
+
+    def _example_batch(self) -> Dict[str, jnp.ndarray]:
+        batch = next(iter(self.train_dataloader))
+        return self._device_batch(batch)
+
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        """Array-only view of a batch, placed (and DP-sharded) on device."""
+        keys = ("spikes_data", "target", "time_attn_mask", "spikes_timestamps")
+        out = {k: jnp.asarray(batch[k]) for k in keys}
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
+            out = {k: jax.device_put(v, sh) for k, v in out.items()}
+        return out
+
+    def _init_state(self) -> TrainState:
+        batch = self._example_batch()
+        mod_inputs = self._build_mod_inputs(batch, None)
+        k_param, k_mask, k_drop = jax.random.split(self.base_key, 3)
+        variables = self.model.init(
+            {"params": k_param, "mask": k_mask, "dropout": k_drop},
+            mod_inputs, training=False)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            rep = jax.sharding.NamedSharding(self.mesh, P())
+            state = jax.device_put(state, rep)
+        return state
+
+    # ------------------------------------------------------------------
+    # mod_dict construction (parity: trainer/base.py:51-103)
+    # ------------------------------------------------------------------
+
+    def _build_mod_inputs(self, batch: Dict[str, jnp.ndarray],
+                          training_mode: Optional[str]
+                          ) -> Dict[str, ModalityInput]:
+        raw = {"ap": batch["spikes_data"], "behavior": batch["target"]}
+        mod_inputs = {}
+        for mod in self.avail_mod:
+            x = raw[mod]
+            if self.single_modal:
+                is_out = mod in self.modal_filter["output"]
+                eval_mask = (jnp.ones if is_out else jnp.zeros)(
+                    x.shape, dtype=jnp.int32)
+            elif training_mode == "encoding":
+                eval_mask = (jnp.ones if mod == "ap" else jnp.zeros)(
+                    x.shape, dtype=jnp.int32)
+            elif training_mode == "decoding":
+                eval_mask = (jnp.ones if mod == "behavior" else jnp.zeros)(
+                    x.shape, dtype=jnp.int32)
+            elif training_mode == "token_masking":
+                eval_mask = None
+            else:  # no mixed training: default per-mod masker sampling
+                eval_mask = None
+            mod_inputs[mod] = ModalityInput(
+                inputs=x, targets=x,
+                attn_mask=batch["time_attn_mask"],
+                timestamps=batch["spikes_timestamps"],
+                eval_mask=eval_mask)
+        return mod_inputs
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+
+    def _get_train_step(self, training_mode: Optional[str], use_mtm: bool):
+        key = (training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        regions = self.regions
+
+        @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+        def step(state: TrainState, batch, scheme_id, base_key):
+            k = jax.random.fold_in(base_key, state.step)
+            k_mask, k_drop = jax.random.split(k)
+
+            def loss_fn(params):
+                mod_inputs = self._build_mod_inputs(batch, training_mode)
+                out: MultiModalOutput = state.apply_fn(
+                    {"params": params}, mod_inputs,
+                    masking_mode=scheme_id if use_mtm else None,
+                    mtm_modes=mtm_modes, regions=regions, training=True,
+                    rngs={"mask": k_mask, "dropout": k_drop})
+                return out.loss, out
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, loss
+
+        self._train_steps[key] = step
+        return step
+
+    def _get_eval_step(self, training_mode: Optional[str], use_mtm: bool):
+        key = (training_mode, use_mtm)
+        if key in self._eval_steps:
+            return self._eval_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        regions = self.regions
+
+        @jax.jit
+        def step(params, batch, scheme_id, base_key):
+            k_mask, _ = jax.random.split(base_key)
+            mod_inputs = self._build_mod_inputs(batch, training_mode)
+            out: MultiModalOutput = self.model.apply(
+                {"params": params}, mod_inputs,
+                masking_mode=scheme_id if use_mtm else None,
+                mtm_modes=mtm_modes, regions=regions, training=False,
+                rngs={"mask": k_mask})
+            return out.loss, out.mod_preds, out.mod_targets
+
+        self._eval_steps[key] = step
+        return step
+
+    def _sample_modes(self) -> Tuple[Optional[str], Optional[int]]:
+        """Per-batch (training_mode, scheme_id) — host-side like the
+        reference, but from the trainer's seeded generator."""
+        training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
+                         if self.mixed_training else None)
+        scheme_id = None
+        if self.masking_schemes:
+            scheme = _host_sample(self._host_rng, self.masking_schemes)
+            scheme_id = self.masking_schemes.index(scheme)
+        return training_mode, scheme_id
+
+    # ------------------------------------------------------------------
+    # epochs
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_dataloader.set_epoch(epoch)
+        train_loss = 0.0
+        n_batches = 0
+        for batch in self.train_dataloader:
+            training_mode, scheme_id = self._sample_modes()
+            use_mtm = scheme_id is not None
+            step = self._get_train_step(training_mode, use_mtm)
+            dev_batch = self._device_batch(batch)
+            self.state, loss = step(
+                self.state, dev_batch,
+                jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                self.base_key)
+            train_loss += float(loss)
+            n_batches += 1
+        return {"train_loss": train_loss, "train_loss_avg":
+                train_loss / max(n_batches, 1)}
+
+    def eval_epoch(self) -> Optional[Dict[str, Any]]:
+        """Reference ``eval_epoch`` (``trainer/base.py:205-270``): accumulate
+        gt/preds per output modality, exp() spike predictions, top-50
+        most-active-neuron R² for 'ap', full R² for behavior."""
+        if self.eval_dataloader is None:
+            return None
+        eval_loss = 0.0
+        acc: Dict[str, Dict[str, list]] = {
+            mod: {"gt": [], "preds": []} for mod in self.modal_filter["output"]}
+
+        for batch in self.eval_dataloader:
+            training_mode, scheme_id = self._sample_modes()
+            use_mtm = scheme_id is not None
+            step = self._get_eval_step(training_mode, use_mtm)
+            dev_batch = self._device_batch(batch)
+            loss, mod_preds, mod_targets = step(
+                self.state.params, dev_batch,
+                jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                jax.random.fold_in(self.base_key, 10_000_000))
+            eval_loss += float(loss)
+            n_real = int(batch.get("n_real", len(batch["spikes_data"])))
+            for mod in self.modal_filter["output"]:
+                acc[mod]["gt"].append(np.asarray(mod_targets[mod])[:n_real])
+                acc[mod]["preds"].append(np.asarray(mod_preds[mod])[:n_real])
+
+        gt, preds, results_list = {}, {}, []
+        self.session_active_neurons = []
+        for mod in self.modal_filter["output"]:
+            _gt = np.concatenate(acc[mod]["gt"], axis=0)
+            _preds = np.concatenate(acc[mod]["preds"], axis=0)
+            if mod == "ap":
+                _preds = np.exp(_preds)
+            gt[mod], preds[mod] = _gt, _preds
+
+            if mod == "ap":
+                active = np.argsort(_gt.sum((0, 1)))[::-1][:50].tolist()
+                self.session_active_neurons.append(active)
+                res = metrics_list(
+                    gt=_gt[:, :, active].transpose(2, 1, 0),
+                    pred=_preds[:, :, active].transpose(2, 1, 0),
+                    metrics=["r2"])
+            else:
+                res = metrics_list(gt=_gt, pred=_preds, metrics=[self.metric])
+            results_list.append(res[self.metric])
+
+        return {
+            "eval_loss": eval_loss,
+            f"eval_trial_avg_{self.metric}": float(np.nanmean(results_list)),
+            "eval_gt": gt,
+            "eval_preds": preds,
+        }
+
+    # ------------------------------------------------------------------
+    # outer loop (parity: trainer/base.py:106-179)
+    # ------------------------------------------------------------------
+
+    def train(self) -> Dict[str, Any]:
+        tcfg = self.tcfg
+        best_eval_loss = float("inf")
+        best_metric = -float("inf")
+        best_epoch = -1
+        history = []
+
+        for epoch in range(tcfg.num_epochs):
+            t0 = time.time()
+            train_res = self.train_epoch(epoch)
+            eval_res = (self.eval_epoch()
+                        if (epoch % tcfg.eval_every == 0) else None)
+            dt = time.time() - t0
+
+            row = {"epoch": epoch, "train_loss": train_res["train_loss"],
+                   "lr": float(self.schedule(int(self.state.step))),
+                   "epoch_time_s": dt}
+            if eval_res:
+                row["eval_loss"] = eval_res["eval_loss"]
+                row[f"eval_trial_avg_{self.metric}"] = (
+                    eval_res[f"eval_trial_avg_{self.metric}"])
+                if eval_res[f"eval_trial_avg_{self.metric}"] > best_metric:
+                    best_metric = eval_res[f"eval_trial_avg_{self.metric}"]
+                    best_eval_loss = eval_res["eval_loss"]
+                    best_epoch = epoch
+                    self.save_model("best", epoch=epoch, metric=best_metric)
+            self.logger.log(row)
+            history.append(row)
+
+            if tcfg.save_every and epoch and epoch % tcfg.save_every == 0:
+                self.save_model("last", epoch=epoch)
+
+        self.save_model("last", epoch=tcfg.num_epochs - 1)
+        summary = {"best_eval_loss": best_eval_loss,
+                   f"best_eval_trial_avg_{self.metric}": best_metric,
+                   "best_epoch": best_epoch, "history": history}
+        self.logger.log({"final": True, "best_epoch": best_epoch,
+                         f"best_eval_trial_avg_{self.metric}": best_metric})
+        return summary
+
+    def save_model(self, name: str = "last", epoch: int = 0,
+                   metric: Optional[float] = None) -> str:
+        os.makedirs(self.tcfg.log_dir, exist_ok=True)
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        meta = {"epoch": epoch, "step": int(self.state.step)}
+        if metric is not None:
+            meta["metric"] = float(metric)
+        return save_checkpoint(self.tcfg.log_dir, name, tree, meta)
+
+
+# ---------------------------------------------------------------------------
+# Baseline trainer (parity: trainer/base.py:312-525)
+# ---------------------------------------------------------------------------
+
+class BaselineTrainer:
+    """Trains the linear BaselineEncoder/BaselineDecoder models."""
+
+    def __init__(
+        self,
+        model,
+        train_dataloader: DataLoader,
+        eval_dataloader: Optional[DataLoader],
+        optimizer_config: OptimizerConfig,
+        trainer_config: TrainerConfig,
+        *,
+        modal_filter: Dict[str, List[str]],
+        mesh: Optional[jax.sharding.Mesh] = None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.model = model
+        self.train_dataloader = train_dataloader
+        self.eval_dataloader = eval_dataloader
+        self.ocfg = optimizer_config
+        self.tcfg = trainer_config
+        self.modal_filter = modal_filter
+        self.mesh = mesh
+        self.logger = logger or MetricLogger(trainer_config.log_dir)
+        self.metric = trainer_config.metric
+        self.base_key = jax.random.PRNGKey(trainer_config.seed)
+
+        total_steps = (trainer_config.num_epochs * len(train_dataloader)
+                       // optimizer_config.gradient_accumulation_steps)
+        self.tx, self.schedule = make_optimizer(optimizer_config,
+                                                max(total_steps, 1))
+        self.state = self._init_state()
+        self._step = None
+        self._eval_step = None
+
+    def _data_dict(self, batch) -> Dict[str, jnp.ndarray]:
+        """Route spikes/behavior into inputs/targets by modal_filter
+        (reference ``trainer/base.py:337-346``)."""
+        src = {"ap": "spikes_data", "behavior": "target"}
+        out = {
+            "inputs": jnp.asarray(batch[src[self.modal_filter["input"][0]]]),
+            "targets": jnp.asarray(batch[src[self.modal_filter["output"][0]]]),
+        }
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
+            out = {k: jax.device_put(v, sh) for k, v in out.items()}
+        return out
+
+    def _init_state(self) -> TrainState:
+        batch = next(iter(self.train_dataloader))
+        variables = self.model.init(self.base_key, self._data_dict(batch))
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            state = jax.device_put(
+                state, jax.sharding.NamedSharding(self.mesh, P()))
+        return state
+
+    def _get_step(self):
+        if self._step is None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step(state, data):
+                def loss_fn(params):
+                    out: BaselineOutput = state.apply_fn({"params": params}, data)
+                    return out.loss
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                return state.apply_gradients(grads=grads), loss
+            self._step = step
+        return self._step
+
+    def _get_eval_step(self):
+        if self._eval_step is None:
+            @jax.jit
+            def step(params, data):
+                out: BaselineOutput = self.model.apply({"params": params}, data)
+                return out.loss, out.preds, out.targets
+            self._eval_step = step
+        return self._eval_step
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_dataloader.set_epoch(epoch)
+        step = self._get_step()
+        train_loss, n = 0.0, 0
+        for batch in self.train_dataloader:
+            self.state, loss = step(self.state, self._data_dict(batch))
+            train_loss += float(loss)
+            n += 1
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(n, 1)}
+
+    def eval_epoch(self) -> Optional[Dict[str, Any]]:
+        if self.eval_dataloader is None:
+            return None
+        step = self._get_eval_step()
+        eval_loss, gts, preds = 0.0, [], []
+        for batch in self.eval_dataloader:
+            loss, p, t = step(self.state.params, self._data_dict(batch))
+            n_real = int(batch.get("n_real", len(batch["spikes_data"])))
+            eval_loss += float(loss)
+            gts.append(np.asarray(t)[:n_real])
+            preds.append(np.asarray(p)[:n_real])
+        gt = np.concatenate(gts, 0)
+        pr = np.concatenate(preds, 0)
+        out_mod = self.modal_filter["output"][0]
+        if out_mod == "ap":
+            pr = np.exp(pr)
+            active = np.argsort(gt.sum((0, 1)))[::-1][:50].tolist()
+            res = metrics_list(gt[:, :, active].transpose(2, 1, 0),
+                               pr[:, :, active].transpose(2, 1, 0),
+                               metrics=["r2"])
+        else:
+            res = metrics_list(gt, pr, metrics=[self.metric])
+        return {"eval_loss": eval_loss,
+                f"eval_trial_avg_{self.metric}": res[self.metric],
+                "eval_gt": gt, "eval_preds": pr}
+
+    def train(self) -> Dict[str, Any]:
+        best_metric, best_epoch = -float("inf"), -1
+        history = []
+        for epoch in range(self.tcfg.num_epochs):
+            train_res = self.train_epoch(epoch)
+            eval_res = self.eval_epoch()
+            row = {"epoch": epoch, "train_loss": train_res["train_loss"]}
+            if eval_res:
+                row["eval_loss"] = eval_res["eval_loss"]
+                row[f"eval_trial_avg_{self.metric}"] = (
+                    eval_res[f"eval_trial_avg_{self.metric}"])
+                if eval_res[f"eval_trial_avg_{self.metric}"] > best_metric:
+                    best_metric = eval_res[f"eval_trial_avg_{self.metric}"]
+                    best_epoch = epoch
+                    self.save_model("best", epoch=epoch, metric=best_metric)
+            self.logger.log(row)
+            history.append(row)
+        self.save_model("last", epoch=self.tcfg.num_epochs - 1)
+        return {f"best_eval_trial_avg_{self.metric}": best_metric,
+                "best_epoch": best_epoch, "history": history}
+
+    def save_model(self, name="last", epoch=0, metric=None) -> str:
+        os.makedirs(self.tcfg.log_dir, exist_ok=True)
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        meta = {"epoch": epoch, "step": int(self.state.step)}
+        if metric is not None:
+            meta["metric"] = float(metric)
+        return save_checkpoint(self.tcfg.log_dir, name, tree, meta)
+
+
+# ---------------------------------------------------------------------------
+# factories (parity: trainer/make.py)
+# ---------------------------------------------------------------------------
+
+def make_multimodal_trainer(model, train_dataloader, eval_dataloader,
+                            optimizer_config, trainer_config, **kwargs
+                            ) -> MultiModalTrainer:
+    return MultiModalTrainer(model, train_dataloader, eval_dataloader,
+                             optimizer_config, trainer_config, **kwargs)
+
+
+def make_baseline_trainer(model, train_dataloader, eval_dataloader,
+                          optimizer_config, trainer_config, **kwargs
+                          ) -> BaselineTrainer:
+    return BaselineTrainer(model, train_dataloader, eval_dataloader,
+                           optimizer_config, trainer_config, **kwargs)
