@@ -161,6 +161,26 @@ class MultiModalConfig:
         kw.update(overrides)
         return cls(**kw)
 
+    # -- JSON round-trip (checkpoint sidecar; eval reload) -----------------
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["compute_dtype"] = jnp.dtype(self.compute_dtype).name
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "MultiModalConfig":
+        d = dict(d)
+        d["avail_mod"] = tuple(d["avail_mod"])
+        dtype_map = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+        d["compute_dtype"] = dtype_map[d.get("compute_dtype", "float32")]
+        mp = d.get("mask_params", {})
+        for k in ("channels", "timesteps"):
+            if mp.get(k) is not None:
+                mp[k] = tuple(mp[k])
+        d["mask_params"] = MaskParams(**mp)
+        return cls(**d)
+
 
 class _TransformerCfg:
     """Adapter exposing the attribute names layers.py expects."""

@@ -178,9 +178,12 @@ class MultiModalTrainer:
         batch = self._example_batch()
         mod_inputs = self._build_mod_inputs(batch, None)
         k_param, k_mask, k_drop = jax.random.split(self.base_key, 3)
-        variables = self.model.init(
+        # jit the init: flax init runs eagerly otherwise, compiling every op
+        # individually — minutes of per-op dispatch on remote TPU backends
+        init_fn = jax.jit(partial(self.model.init, training=False))
+        variables = init_fn(
             {"params": k_param, "mask": k_mask, "dropout": k_drop},
-            mod_inputs, training=False)
+            mod_inputs)
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
         if self.mesh is not None:
@@ -409,6 +412,9 @@ class MultiModalTrainer:
     def save_model(self, name: str = "last", epoch: int = 0,
                    metric: Optional[float] = None) -> str:
         os.makedirs(self.tcfg.log_dir, exist_ok=True)
+        # model_config.json sidecar lets eval rebuild the model from disk
+        from ..eval.loading import save_model_config
+        save_model_config(self.tcfg.log_dir, self.model.config)
         tree = {"params": self.state.params,
                 "opt_state": self.state.opt_state,
                 "step": self.state.step}
@@ -472,7 +478,8 @@ class BaselineTrainer:
 
     def _init_state(self) -> TrainState:
         batch = next(iter(self.train_dataloader))
-        variables = self.model.init(self.base_key, self._data_dict(batch))
+        variables = jax.jit(self.model.init)(
+            self.base_key, self._data_dict(batch))
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
         if self.mesh is not None:
