@@ -42,7 +42,10 @@ class Config(dict):
         except KeyError as e:
             raise AttributeError(name) from e
         if isinstance(value, dict) and not isinstance(value, Config):
+            # store the wrapper back so mutations through attribute access
+            # (cfg.training["num_epochs"] = 4) hit this config, not a copy
             value = Config(value)
+            self[name] = value
         return value
 
     def __setattr__(self, name: str, value: Any) -> None:

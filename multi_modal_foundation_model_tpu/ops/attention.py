@@ -88,7 +88,8 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # [0, 0]: SMEM loads must be scalar on TPU (a [0] slice is not)
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         keep = _dropout_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
     o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
@@ -112,7 +113,7 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     l = jnp.sum(e, axis=-1, keepdims=True)
     pn = e / l                                    # softmax probs
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         keep = _dropout_mask(pn.shape, dropout_rate)
         mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
     else:
@@ -143,7 +144,7 @@ def _should_interpret() -> bool:
 def _bh_specs(n_heads: int, tq: int, tk: int, d: int):
     """Block specs for (BH, T, D) operands + (B, Tq, Tk) head-shared bias."""
     return [
-        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),           # seed
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),  # seed
         pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -297,8 +297,7 @@ class MultiModalTrainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_dataloader.set_epoch(epoch)
-        train_loss = 0.0
-        n_batches = 0
+        losses = []
         for batch in self.train_dataloader:
             training_mode, scheme_id = self._sample_modes()
             use_mtm = scheme_id is not None
@@ -308,10 +307,11 @@ class MultiModalTrainer:
                 self.state, dev_batch,
                 jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
                 self.base_key)
-            train_loss += float(loss)
-            n_batches += 1
+            losses.append(loss)  # stays on device: keep dispatch async
+        # one host sync per epoch (per-batch float() would serialize steps)
+        train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         return {"train_loss": train_loss, "train_loss_avg":
-                train_loss / max(n_batches, 1)}
+                train_loss / max(len(losses), 1)}
 
     def eval_epoch(self) -> Optional[Dict[str, Any]]:
         """Reference ``eval_epoch`` (``trainer/base.py:205-270``): accumulate
@@ -319,10 +319,11 @@ class MultiModalTrainer:
         most-active-neuron R² for 'ap', full R² for behavior."""
         if self.eval_dataloader is None:
             return None
-        eval_loss = 0.0
+        losses = []
         acc: Dict[str, Dict[str, list]] = {
             mod: {"gt": [], "preds": []} for mod in self.modal_filter["output"]}
 
+        eval_key = jax.random.fold_in(self.base_key, 10_000_000)
         for batch in self.eval_dataloader:
             training_mode, scheme_id = self._sample_modes()
             use_mtm = scheme_id is not None
@@ -331,12 +332,16 @@ class MultiModalTrainer:
             loss, mod_preds, mod_targets = step(
                 self.state.params, dev_batch,
                 jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
-                jax.random.fold_in(self.base_key, 10_000_000))
-            eval_loss += float(loss)
+                eval_key)
+            losses.append(loss)  # device-side until the epoch-end sync
             n_real = int(batch.get("n_real", len(batch["spikes_data"])))
             for mod in self.modal_filter["output"]:
-                acc[mod]["gt"].append(np.asarray(mod_targets[mod])[:n_real])
-                acc[mod]["preds"].append(np.asarray(mod_preds[mod])[:n_real])
+                acc[mod]["gt"].append((mod_targets[mod], n_real))
+                acc[mod]["preds"].append((mod_preds[mod], n_real))
+        eval_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+        for mod in self.modal_filter["output"]:
+            for k in ("gt", "preds"):
+                acc[mod][k] = [np.asarray(a)[:n] for a, n in acc[mod][k]]
 
         gt, preds, results_list = {}, {}, []
         self.session_active_neurons = []
@@ -512,25 +517,28 @@ class BaselineTrainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_dataloader.set_epoch(epoch)
         step = self._get_step()
-        train_loss, n = 0.0, 0
+        losses = []
         for batch in self.train_dataloader:
             self.state, loss = step(self.state, self._data_dict(batch))
-            train_loss += float(loss)
-            n += 1
+            losses.append(loss)  # device-side; one host sync per epoch
+        train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         return {"train_loss": train_loss,
-                "train_loss_avg": train_loss / max(n, 1)}
+                "train_loss_avg": train_loss / max(len(losses), 1)}
 
     def eval_epoch(self) -> Optional[Dict[str, Any]]:
         if self.eval_dataloader is None:
             return None
         step = self._get_eval_step()
-        eval_loss, gts, preds = 0.0, [], []
+        losses, gts, preds = [], [], []
         for batch in self.eval_dataloader:
             loss, p, t = step(self.state.params, self._data_dict(batch))
             n_real = int(batch.get("n_real", len(batch["spikes_data"])))
-            eval_loss += float(loss)
-            gts.append(np.asarray(t)[:n_real])
-            preds.append(np.asarray(p)[:n_real])
+            losses.append(loss)
+            gts.append((t, n_real))
+            preds.append((p, n_real))
+        eval_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+        gts = [np.asarray(a)[:n] for a, n in gts]
+        preds = [np.asarray(a)[:n] for a, n in preds]
         gt = np.concatenate(gts, 0)
         pr = np.concatenate(preds, 0)
         out_mod = self.modal_filter["output"][0]

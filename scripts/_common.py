@@ -1,0 +1,76 @@
+"""Shared plumbing for the entry scripts (session loading, mesh, log dirs).
+
+The reference entry scripts hard-code SLURM paths and the HF hub
+(``/root/reference/src/train_multi_modal.py:26-32,85-120``); these helpers
+add a ``--synthetic`` path so every script runs offline, and build the
+JAX device mesh that replaces ``accelerate``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Some environments pin JAX_PLATFORMS at interpreter startup; MMFM_PLATFORM
+# provides a working override (e.g. MMFM_PLATFORM=cpu for offline runs).
+if os.environ.get("MMFM_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MMFM_PLATFORM"])
+
+from multi_modal_foundation_model_tpu.data.session import (  # noqa: E402
+    SessionSplits, load_ibl_session, synthetic_splits)
+
+DEFAULT_EID = "db4df448-e449-4a6f-a0e7-288711e7a75a"
+
+
+def add_common_args(ap):
+    ap.add_argument("--eid", type=str, default=DEFAULT_EID)
+    ap.add_argument("--base_path", type=str, default="results")
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use an offline synthetic session instead of the HF hub")
+    ap.add_argument("--n_neurons", type=int, default=668,
+                    help="synthetic session size (ignored with real data)")
+    ap.add_argument("--n_trials", type=int, default=400)
+    ap.add_argument("--num_epochs", type=int, default=None,
+                    help="override config num_epochs")
+    ap.add_argument("--dp", type=int, default=-1,
+                    help="data-parallel devices; -1 = all, 1 = single")
+    return ap
+
+
+def get_session(args) -> SessionSplits:
+    if args.synthetic:
+        return synthetic_splits(seed=args.seed, n_trials=args.n_trials,
+                                n_neurons=args.n_neurons, eid=args.eid)
+    return load_ibl_session(args.eid)
+
+
+def build_mesh(dp: int):
+    """Mesh over the 'data' axis, or None for single-device execution."""
+    devices = jax.devices()
+    n = len(devices) if dp in (-1, 0) else min(dp, len(devices))
+    if n <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
+
+
+def log_dir_for(base_path: str, eid: str, modal_filter, model_name: str) -> str:
+    """Reference results layout (``train_baseline.py:60-67``)."""
+    return os.path.join(
+        base_path, "results", f"ses-{eid}", "set-train",
+        f"inModal-{'-'.join(modal_filter['input'])}",
+        f"outModal-{'-'.join(modal_filter['output'])}",
+        model_name)
+
+
+def guard_overwrite(log_dir: str, overwrite: bool):
+    marker = os.path.join(log_dir, "model_last")
+    assert not os.path.exists(marker) or overwrite, \
+        f"checkpoint exists at {marker} and --overwrite not set"

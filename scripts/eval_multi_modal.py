@@ -1,0 +1,88 @@
+"""Evaluate a trained MultiModal checkpoint.
+
+Entry-point parity with ``/root/reference/src/eval_multi_modal.py``:
+modal_spike + modal_behavior run by default (``eval_multi_modal.py:71-80``),
+the other co-smoothing modes are opt-in flags; artifacts land per mode under
+``<model_dir>/eval/<mode>/{bps,r2}.npy`` plus a combined ``results.json``.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from _common import add_common_args, get_session, log_dir_for
+
+from multi_modal_foundation_model_tpu.data.session import DEFAULT_TARGETS
+from multi_modal_foundation_model_tpu.eval import (co_smoothing_eval,
+                                                   load_model_data_local)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    add_common_args(ap)
+    ap.add_argument("--mask_ratio", type=float, default=0.1)
+    ap.add_argument("--mask_mode", type=str, default="temporal")
+    ap.add_argument("--mixed_training", action="store_true")
+    ap.add_argument("--use_MtM", action="store_true",
+                    help="mask model inputs at eval (co-smoothing proper)")
+    ap.add_argument("--model_dir", type=str, default=None,
+                    help="checkpoint dir; default derives from the train layout")
+    ap.add_argument("--checkpoint", type=str, default="best")
+    ap.add_argument("--co_smooth", action="store_true")
+    ap.add_argument("--forward_pred", action="store_true")
+    ap.add_argument("--inter_region", action="store_true")
+    ap.add_argument("--intra_region", action="store_true")
+    ap.add_argument("--no_modal_spike", action="store_true")
+    ap.add_argument("--no_modal_behavior", action="store_true")
+    ap.add_argument("--n_time_steps", type=int, default=100)
+    args = ap.parse_args()
+
+    modal_filter = {"input": ["ap", "behavior"], "output": ["ap", "behavior"]}
+    model_dir = args.model_dir or log_dir_for(
+        args.base_path, args.eid, modal_filter,
+        f"mask-{args.mask_mode}_ratio-{args.mask_ratio}"
+        f"_mixed-{args.mixed_training}")
+
+    splits = get_session(args)
+    model, params, test_loader = load_model_data_local(
+        model_dir=model_dir, test_session=splits.test,
+        checkpoint_name=args.checkpoint,
+        max_time_length=args.n_time_steps,
+        max_space_length=splits.n_neurons, seed=args.seed)
+
+    T = args.n_time_steps
+    modes = []
+    if args.co_smooth:
+        modes.append(("per_neuron", {}))
+    if args.forward_pred:
+        modes.append(("forward_pred",
+                      {"held_out_list": list(range(int(0.7 * T), T))}))
+    if args.inter_region:
+        modes.append(("inter_region", {}))
+    if args.intra_region:
+        modes.append(("intra_region", {}))
+    if not args.no_modal_spike:
+        modes.append(("modal_spike", {"held_out_list": list(range(T))}))
+    if not args.no_modal_behavior:
+        modes.append(("modal_behavior", {"held_out_list": list(range(T))}))
+
+    results = {}
+    for mode, kw in modes:
+        save_path = os.path.join(model_dir, "eval", mode)
+        res = co_smoothing_eval(
+            model, params, test_loader, mode=mode, use_mtm=args.use_MtM,
+            save_path=save_path, n_time_steps=T,
+            avail_beh=list(DEFAULT_TARGETS), **kw)
+        results.update({k: (v if isinstance(v, dict) else float(v))
+                        for k, v in res.items()})
+        print(f"[{mode}]", json.dumps(results, default=float)[:400])
+
+    with open(os.path.join(model_dir, "eval", "results.json"), "w") as f:
+        json.dump(results, f, indent=1, default=float)
+    print("saved:", os.path.join(model_dir, "eval", "results.json"))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,15 @@ def test_to_dict_roundtrip():
     plain = cfg.to_dict()
     assert plain == {"a": {"b": [1, 2]}}
     assert type(plain["a"]) is dict
+
+
+def test_nested_mutation_through_attribute_persists():
+    """cfg.section["key"] = v must mutate cfg itself, not a wrapped copy
+    (the entry scripts poke loaded configs this way, e.g. num_epochs)."""
+    from multi_modal_foundation_model_tpu.config import Config
+
+    cfg = Config({"training": {"num_epochs": 2000}, "model": {"m": {"r": 1}}})
+    cfg.training["num_epochs"] = 4
+    assert cfg["training"]["num_epochs"] == 4
+    cfg.model.m["r"] = 9
+    assert cfg["model"]["m"]["r"] == 9
