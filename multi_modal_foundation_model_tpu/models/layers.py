@@ -283,6 +283,74 @@ class ModalityTokenizer(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+class SessionStitchedTokenizer(nn.Module):
+    """NDT2-style session stitcher: per-session input projection selected by
+    a *traced* session id, then a shared projection to the trunk width.
+
+    Multi-session support is new work in this framework (the reference's
+    tokenizers are single-session ``Linear(N_ch, ...)``; its stitch sampler
+    only groups same-N trials — ``loader/base.py:150-179``). TPU-first
+    design: all sessions pad to one ``n_channels = N_max`` and the
+    per-session kernels live in ONE ``(S, N_max, inter)`` parameter indexed
+    with ``jnp.take`` — a single compiled program covers every session.
+    The intermediate width is ``mult * hidden_size`` (session-independent),
+    where the single-session tokenizer uses ``mult * N_ch``.
+    """
+
+    n_sessions: int
+    n_channels: int
+    hidden_size: int
+    mult: int
+    act: str
+    scale: float
+    use_bias: bool
+    dropout: float
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, inputs, session_id, deterministic: bool = True):
+        inter = self.mult * self.hidden_size
+        S, N = self.n_sessions, self.n_channels
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / np.sqrt(N)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        W = self.param("token_embed_kernel", kernel_init, (S, N, inter))
+        b = self.param("token_embed_bias", kernel_init, (S, inter)) \
+            if self.use_bias else None
+        w_s = jnp.take(W, session_id, axis=0).astype(self.dtype or inputs.dtype)
+        x = inputs @ w_s
+        if b is not None:
+            x = x + jnp.take(b, session_id, axis=0).astype(x.dtype)
+        x = ACT2FN[self.act](x) * self.scale
+        x = _dense(self.hidden_size, inter, True, name="projection",
+                   dtype=self.dtype)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class SessionStitchedHead(nn.Module):
+    """Per-session output projection ``(H -> N_max)`` indexed by a traced
+    session id — the decoder-side half of session stitching."""
+
+    n_sessions: int
+    n_channels: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, y, session_id):
+        S, H, N = self.n_sessions, self.hidden_size, self.n_channels
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / np.sqrt(H)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        W = self.param("kernel", kernel_init, (S, H, N))
+        b = self.param("bias", kernel_init, (S, N))
+        w_s = jnp.take(W, session_id, axis=0).astype(y.dtype)
+        return y @ w_s + jnp.take(b, session_id, axis=0).astype(y.dtype)
+
+
 class FactorsProjection(nn.Module):
     """Optional bottleneck head (``mm_utils.py:55-73``); kept for API parity
     — not constructed in the live model path, mirroring the reference."""

@@ -47,7 +47,8 @@ import numpy as np
 from ..ops.attention import create_context_mask, multi_head_attention
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
-from .layers import DecoderLayer, EncoderLayer, ModalityTokenizer
+from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,
+                     SessionStitchedHead, SessionStitchedTokenizer)
 
 MODALITY_LOSS = {"ap": "poisson_nll", "behavior": "mse"}
 
@@ -113,6 +114,9 @@ class MultiModalConfig:
     attn_impl: str = "pallas"
     compute_dtype: Any = jnp.float32
     share_modality_embeddings: bool = True
+    # multi-session stitching (new work; >1 switches the 'ap' tokenizer and
+    # head to session-indexed params and adds a session embedding)
+    n_sessions: int = 1
 
     @classmethod
     def from_config(cls, cfg, n_channels: Dict[str, int],
@@ -207,7 +211,16 @@ class MultiModal(nn.Module):
         mc = self.config
         self.mod_to_indx = {m: i for i, m in enumerate(mc.avail_mod)}
 
+        self.stitched = mc.n_sessions > 1
+
         def tokenizer(mod):
+            if self.stitched and mod == "ap":
+                return SessionStitchedTokenizer(
+                    n_sessions=mc.n_sessions, n_channels=mc.n_channels[mod],
+                    hidden_size=mc.hidden_size, mult=mc.mult,
+                    act=mc.embed_act, scale=mc.embed_scale,
+                    use_bias=mc.embed_bias, dropout=mc.embed_dropout,
+                    dtype=mc.compute_dtype)
             return ModalityTokenizer(
                 n_channels=mc.n_channels[mod], hidden_size=mc.hidden_size,
                 mult=mc.mult, act=mc.embed_act, scale=mc.embed_scale,
@@ -216,6 +229,10 @@ class MultiModal(nn.Module):
 
         self.encoder_tokenizers = {m: tokenizer(m) for m in mc.avail_mod}
         self.decoder_tokenizers = {m: tokenizer(m) for m in mc.avail_mod}
+        if self.stitched:
+            self.session_emb = nn.Embed(
+                mc.n_sessions, mc.hidden_size, name="session_emb",
+                embedding_init=nn.initializers.normal(stddev=1.0))
 
         emb_init = nn.initializers.normal(stddev=1.0)  # torch Embedding default
         self.enc_mod_emb = {
@@ -256,7 +273,12 @@ class MultiModal(nn.Module):
                         for i in range(mc.n_dec_layers)]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
         self.out_proj = {
-            m: nn.Dense(mc.n_channels[m], name=f"out_proj_{m}")
+            m: (SessionStitchedHead(n_sessions=mc.n_sessions,
+                                    n_channels=mc.n_channels[m],
+                                    hidden_size=mc.hidden_size,
+                                    name=f"out_proj_{m}")
+                if self.stitched and m == "ap" else
+                nn.Dense(mc.n_channels[m], name=f"out_proj_{m}"))
             for m in mc.avail_mod}
 
     # ------------------------------------------------------------------
@@ -343,6 +365,8 @@ class MultiModal(nn.Module):
         mtm_modes: Tuple[str, ...] = (),    # scheme menu for traced ids
         regions: Optional[RegionSets] = None,
         training: bool = False,
+        session_id: Optional[jnp.ndarray] = None,   # traced, stitched only
+        space_attn_mask: Optional[jnp.ndarray] = None,  # (B, N) 'ap' padding
     ) -> MultiModalOutput:
         mc = self.config
         deterministic = not training
@@ -369,10 +393,21 @@ class MultiModal(nn.Module):
             if mc.use_pos:
                 e_emb = e_emb + self.enc_pos_emb[mod](d.timestamps)
                 d_emb = d_emb + self.dec_pos_emb[mod](d.timestamps)
-            tokens_e.append(self.encoder_tokenizers[mod](x, deterministic))
-            # decoder tokens are embedded from the *inputs* too
-            # (decoder_embeddings.py:46)
-            tokens_d.append(self.decoder_tokenizers[mod](x, deterministic))
+            if self.stitched and mod == "ap":
+                assert session_id is not None, \
+                    "stitched model needs a session_id"
+                s_emb = self.session_emb(session_id)[None, None, :]
+                e_emb = e_emb + s_emb
+                d_emb = d_emb + s_emb
+                tokens_e.append(self.encoder_tokenizers[mod](
+                    x, session_id, deterministic))
+                tokens_d.append(self.decoder_tokenizers[mod](
+                    x, session_id, deterministic))
+            else:
+                tokens_e.append(self.encoder_tokenizers[mod](x, deterministic))
+                # decoder tokens are embedded from the *inputs* too
+                # (decoder_embeddings.py:46)
+                tokens_d.append(self.decoder_tokenizers[mod](x, deterministic))
             embs_e.append(e_emb)
             embs_d.append(d_emb)
 
@@ -407,13 +442,21 @@ class MultiModal(nn.Module):
         mod_loss, mod_n, mod_preds, mod_targets = {}, {}, {}, {}
         for i, mod in enumerate(mc.avail_mod):
             y_mod = y[:, i * T:(i + 1) * T, :]
-            preds = self.out_proj[mod](y_mod).astype(jnp.float32)
+            if self.stitched and mod == "ap":
+                preds = self.out_proj[mod](y_mod, session_id)
+            else:
+                preds = self.out_proj[mod](y_mod)
+            preds = preds.astype(jnp.float32)
             targets = gts[mod].astype(jnp.float32)
             if spike_masks[mod] is not None:
                 elem_mask = spike_masks[mod]
             else:
                 elem_mask = jnp.broadcast_to(
                     token_masks[i][:, :, None], targets.shape)
+            if mod == "ap" and space_attn_mask is not None:
+                # padded neurons (multi-session N_max padding) carry no loss
+                elem_mask = elem_mask * space_attn_mask[:, None, :].astype(
+                    elem_mask.dtype)
             if MODALITY_LOSS.get(mod, "mse") == "poisson_nll":
                 loss_sum, n = masked_poisson_nll(preds, targets, elem_mask)
             else:

@@ -130,6 +130,55 @@ class RegionSets:
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class RegionTable:
+    """Per-session region info stacked for traced session indexing.
+
+    Multi-session runs compile ONE program; the batch's session selects its
+    row of ``region_ids (S, N_max)`` / candidate ids (padded with -1) via
+    :meth:`select` inside the step.
+    """
+
+    region_ids: jnp.ndarray          # (S, N_max) int32, -1 = padding
+    mask_candidates: jnp.ndarray     # (S, R_max) int32, -1 = padding
+    target_candidates: jnp.ndarray   # (S, R_max) int32, -1 = padding
+
+    @classmethod
+    def build(cls, per_session_region_ids: Sequence[np.ndarray],
+              mask_regions: Optional[Sequence] = ("all",),
+              target_regions: Optional[Sequence] = ("all",),
+              region_vocab: Optional[dict] = None) -> "RegionTable":
+        sets = [RegionSets.build(ids, mask_regions, target_regions,
+                                 region_vocab)
+                for ids in per_session_region_ids]
+        n_max = max(int(s.region_ids.shape[0]) for s in sets)
+        r_max = max(max(int(s.mask_candidates.shape[0]),
+                        int(s.target_candidates.shape[0])) for s in sets)
+
+        def pad(a, n):
+            a = np.asarray(a, dtype=np.int32)
+            return np.pad(a, (0, n - len(a)), constant_values=-1)
+
+        return cls(
+            region_ids=jnp.asarray(
+                np.stack([pad(s.region_ids, n_max) for s in sets])),
+            mask_candidates=jnp.asarray(
+                np.stack([pad(s.mask_candidates, r_max) for s in sets])),
+            target_candidates=jnp.asarray(
+                np.stack([pad(s.target_candidates, r_max) for s in sets])),
+        )
+
+    def select(self, session_id) -> RegionSets:
+        """RegionSets view for one (traced) session id."""
+        return RegionSets(
+            region_ids=jnp.take(self.region_ids, session_id, axis=0),
+            mask_candidates=jnp.take(self.mask_candidates, session_id,
+                                     axis=0),
+            target_candidates=jnp.take(self.target_candidates, session_id,
+                                       axis=0),
+        )
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -168,9 +217,17 @@ def _corrupt(key: jax.Array, spikes: jnp.ndarray, mask: jnp.ndarray,
 
 def _sample_regions(key: jax.Array, candidates: jnp.ndarray,
                     n: int) -> jnp.ndarray:
-    """Sample ``n`` region ids without replacement from ``candidates``."""
+    """Sample ``n`` region ids uniformly without replacement.
+
+    Gumbel top-k over the candidate list; entries < 0 are padding (used by
+    the multi-session RegionTable, where sessions have different region
+    counts) and are never selected while valid candidates remain.
+    """
     n = min(n, int(candidates.shape[0]))
-    return jax.random.choice(key, candidates, shape=(n,), replace=False)
+    g = jax.random.gumbel(key, candidates.shape)
+    scores = jnp.where(candidates >= 0, g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, n)
+    return candidates[idx]
 
 
 def _member(region_ids: jnp.ndarray, sampled: jnp.ndarray) -> jnp.ndarray:

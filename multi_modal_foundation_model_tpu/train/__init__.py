@@ -1,6 +1,7 @@
 from .checkpoint import (load_checkpoint_meta, restore_checkpoint,
                          save_checkpoint)
 from .logging import MetricLogger
+from .multisession import MultiSessionTrainer, build_multisession_loaders
 from .schedule import OptimizerConfig, make_optimizer, one_cycle_schedule
 from .trainer import (BaselineTrainer, MultiModalTrainer, TrainerConfig,
                       TrainState, make_baseline_trainer,
@@ -10,6 +11,8 @@ __all__ = [
     "BaselineTrainer",
     "MetricLogger",
     "MultiModalTrainer",
+    "MultiSessionTrainer",
+    "build_multisession_loaders",
     "OptimizerConfig",
     "TrainState",
     "TrainerConfig",

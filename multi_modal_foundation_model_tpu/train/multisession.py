@@ -1,0 +1,302 @@
+"""Multi-session pretraining: session-stitched model, interleaved loaders.
+
+New work in this framework (BASELINE.json configs 4-5): the reference's
+multi-session support is latent — same-neuron-count batch grouping in the
+stitch sampler (``/root/reference/src/loader/base.py:150-179``) and
+per-neuron-count eval bookkeeping (``trainer/base.py:208-213``) — but its
+entry scripts only ever train one session.
+
+TPU-first design decisions:
+
+- All sessions pad to ONE ``N_max`` (token count is fixed at 2 modalities x
+  T regardless of neuron count, so attention cost is unchanged and only the
+  tokenizer GEMM widens) — every session runs through a single compiled
+  step with a *traced* ``session_id`` that indexes stitched parameters
+  (models/layers.py SessionStitchedTokenizer/Head) and the per-session
+  region table (ops/masking.RegionTable).
+- The epoch schedule interleaves batches from all sessions, shuffled
+  deterministically from (seed, epoch), so multi-host runs derive identical
+  schedules.
+- Each batch is single-session (the reference's invariant:
+  ``trainer/base.py:66`` "each batch is from the same eid").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader, make_loader
+from ..data.session import SessionSplits
+from ..eval.metrics import metrics_list
+from ..ops.masking import RegionTable
+from .logging import MetricLogger
+from .schedule import OptimizerConfig
+from .trainer import MultiModalTrainer, TrainerConfig
+
+
+def build_multisession_loaders(
+    sessions: Dict[str, SessionSplits],
+    batch_size: int,
+    *,
+    max_time_length: int = 100,
+    pad_multiple: int = 128,
+    target: Optional[Sequence[str]] = None,
+    seed: int = 42,
+) -> Tuple[Dict[str, DataLoader], Dict[str, DataLoader], Dict[str, DataLoader],
+           dict]:
+    """(train, val, test) loader dicts + meta (N_max, sid map, region table).
+
+    Builds a shared region vocabulary across sessions so region ids are
+    comparable, pads every session's space axis to one lane-friendly
+    ``N_max``, and assembles the stacked RegionTable.
+    """
+    eids = sorted(sessions.keys())
+    n_max_raw = max(sessions[e].n_neurons for e in eids)
+    n_max = ((n_max_raw + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    region_vocab: Dict[str, int] = {}
+    for e in eids:
+        for r in sorted(set(sessions[e].train.neuron_regions.astype(str))):
+            region_vocab.setdefault(r, len(region_vocab))
+
+    train, val, test = {}, {}, {}
+    per_session_region_ids: List[np.ndarray] = []
+    for e in eids:
+        kw = dict(batch_size=batch_size, target=target,
+                  max_time_length=max_time_length, max_space_length=n_max,
+                  region_vocab=region_vocab, seed=seed)
+        train[e] = make_loader(sessions[e].train, **kw)
+        val[e] = make_loader(sessions[e].val, shuffle=False, **kw)
+        test[e] = make_loader(sessions[e].test, shuffle=False, **kw)
+        per_session_region_ids.append(train[e].arrays["region_ids"])
+
+    meta = {
+        "eids": eids,
+        "eid_to_sid": {e: i for i, e in enumerate(eids)},
+        "num_neurons": [sessions[e].n_neurons for e in eids],
+        "n_max": n_max,
+        "region_vocab": region_vocab,
+        "per_session_region_ids": per_session_region_ids,
+    }
+    return train, val, test, meta
+
+
+class MultiSessionTrainer(MultiModalTrainer):
+    """MultiModalTrainer over a dict of per-session loaders.
+
+    The model must be built with ``n_sessions = len(loaders)`` and
+    ``n_channels['ap'] = N_max``.
+    """
+
+    def __init__(
+        self,
+        model,
+        train_loaders: Dict[str, DataLoader],
+        eval_loaders: Optional[Dict[str, DataLoader]],
+        optimizer_config: OptimizerConfig,
+        trainer_config: TrainerConfig,
+        *,
+        region_table: RegionTable,
+        eid_to_sid: Dict[str, int],
+        mesh=None,
+        logger: Optional[MetricLogger] = None,
+        modal_filter=None,
+    ):
+        self.train_loaders = train_loaders
+        self.eval_loaders = eval_loaders or {}
+        self.region_table = region_table
+        self.eid_to_sid = dict(eid_to_sid)
+        first = next(iter(train_loaders))
+        total_batches = sum(len(l) for l in train_loaders.values())
+        self._total_batches = total_batches
+        super().__init__(
+            model, train_loaders[first], eval_loaders[first] if eval_loaders
+            else None, optimizer_config, trainer_config,
+            modal_filter=modal_filter, mesh=mesh, logger=logger)
+
+    # total steps must count every session's batches, not just the first's
+    def _steps_per_epoch(self) -> int:
+        return self._total_batches
+
+    def _init_state(self):
+        batch = self._example_batch()
+        mod_inputs = self._build_mod_inputs(batch, None)
+        k_param, k_mask, k_drop = jax.random.split(self.base_key, 3)
+        init_fn = jax.jit(partial(self.model.init, training=False))
+        variables = init_fn(
+            {"params": k_param, "mask": k_mask, "dropout": k_drop},
+            mod_inputs, session_id=jnp.asarray(0, jnp.int32),
+            space_attn_mask=batch["space_attn_mask"])
+        from .trainer import TrainState
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            state = jax.device_put(
+                state, jax.sharding.NamedSharding(self.mesh, P()))
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        out = super()._device_batch(batch)
+        space = jnp.asarray(batch["space_attn_mask"])
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
+            space = jax.device_put(space, sh)
+        out["space_attn_mask"] = space
+        return out
+
+    def _get_train_step(self, training_mode, use_mtm):
+        key = ("ms", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, scheme_id, session_id, base_key):
+            k = jax.random.fold_in(base_key, state.step)
+            k_mask, k_drop = jax.random.split(k)
+            regions = table.select(session_id)
+
+            def loss_fn(params):
+                mod_inputs = self._build_mod_inputs(batch, training_mode)
+                out = state.apply_fn(
+                    {"params": params}, mod_inputs,
+                    masking_mode=scheme_id if use_mtm else None,
+                    mtm_modes=mtm_modes, regions=regions, training=True,
+                    session_id=session_id,
+                    space_attn_mask=batch["space_attn_mask"],
+                    rngs={"mask": k_mask, "dropout": k_drop})
+                return out.loss, out
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        self._train_steps[key] = step
+        return step
+
+    def _get_eval_step(self, training_mode, use_mtm):
+        key = ("ms", training_mode, use_mtm)
+        if key in self._eval_steps:
+            return self._eval_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @jax.jit
+        def step(params, batch, scheme_id, session_id, base_key):
+            k_mask, _ = jax.random.split(base_key)
+            regions = table.select(session_id)
+            mod_inputs = self._build_mod_inputs(batch, training_mode)
+            out = self.model.apply(
+                {"params": params}, mod_inputs,
+                masking_mode=scheme_id if use_mtm else None,
+                mtm_modes=mtm_modes, regions=regions, training=False,
+                session_id=session_id,
+                space_attn_mask=batch["space_attn_mask"],
+                rngs={"mask": k_mask})
+            return out.loss, out.mod_preds, out.mod_targets
+
+        self._eval_steps[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+
+    def _epoch_schedule(self, epoch: int) -> List[str]:
+        """Deterministic shuffled interleave: each eid appears once per
+        batch its loader yields this epoch."""
+        eids = []
+        for e, loader in self.train_loaders.items():
+            eids.extend([e] * len(loader))
+        rng = np.random.default_rng((self.tcfg.seed, epoch, 7))
+        rng.shuffle(eids)
+        return eids
+
+    def train_epoch(self, epoch: int):
+        iters = {}
+        for e, loader in self.train_loaders.items():
+            loader.set_epoch(epoch)
+            iters[e] = iter(loader)
+        losses = []
+        for eid in self._epoch_schedule(epoch):
+            batch = next(iters[eid])
+            training_mode, scheme_id = self._sample_modes()
+            use_mtm = scheme_id is not None
+            step = self._get_train_step(training_mode, use_mtm)
+            self.state, loss = step(
+                self.state, self._device_batch(batch),
+                jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                jnp.asarray(self.eid_to_sid[eid], jnp.int32),
+                self.base_key)
+            losses.append(loss)
+        train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(len(losses), 1)}
+
+    def eval_epoch(self):
+        """Per-session metric accumulation (reference keys session results
+        by neuron count, ``trainer/base.py:208-263``; eids are the stable
+        analog)."""
+        if not self.eval_loaders:
+            return None
+        losses, results_list = [], []
+        gt_all, preds_all = {}, {}
+        eval_key = jax.random.fold_in(self.base_key, 10_000_000)
+        for eid, loader in self.eval_loaders.items():
+            sid = jnp.asarray(self.eid_to_sid[eid], jnp.int32)
+            acc = {mod: {"gt": [], "preds": []}
+                   for mod in self.modal_filter["output"]}
+            n_real_neurons = None
+            for batch in loader:
+                training_mode, scheme_id = self._sample_modes()
+                use_mtm = scheme_id is not None
+                step = self._get_eval_step(training_mode, use_mtm)
+                loss, mod_preds, mod_targets = step(
+                    self.state.params, self._device_batch(batch),
+                    jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                    sid, eval_key)
+                losses.append(loss)
+                n_real = int(batch.get("n_real", len(batch["spikes_data"])))
+                space = np.asarray(batch["space_attn_mask"][0])
+                zeros = np.nonzero(space == 0)[0]
+                n_real_neurons = (int(zeros.min()) if len(zeros)
+                                  else space.shape[-1])
+                for mod in self.modal_filter["output"]:
+                    acc[mod]["gt"].append((mod_targets[mod], n_real))
+                    acc[mod]["preds"].append((mod_preds[mod], n_real))
+
+            gt_all[eid], preds_all[eid] = {}, {}
+            for mod in self.modal_filter["output"]:
+                _gt = np.concatenate(
+                    [np.asarray(a)[:n] for a, n in acc[mod]["gt"]], axis=0)
+                _pr = np.concatenate(
+                    [np.asarray(a)[:n] for a, n in acc[mod]["preds"]], axis=0)
+                if mod == "ap":
+                    _gt = _gt[:, :, :n_real_neurons]
+                    _pr = np.exp(_pr[:, :, :n_real_neurons])
+                    active = np.argsort(_gt.sum((0, 1)))[::-1][:50].tolist()
+                    res = metrics_list(_gt[:, :, active].transpose(2, 1, 0),
+                                       _pr[:, :, active].transpose(2, 1, 0),
+                                       metrics=["r2"])
+                else:
+                    res = metrics_list(_gt, _pr, metrics=[self.metric])
+                gt_all[eid][mod], preds_all[eid][mod] = _gt, _pr
+                results_list.append(res[self.metric])
+
+        eval_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+        return {
+            "eval_loss": eval_loss,
+            f"eval_trial_avg_{self.metric}": float(np.nanmean(results_list)),
+            "eval_gt": gt_all,
+            "eval_preds": preds_all,
+        }

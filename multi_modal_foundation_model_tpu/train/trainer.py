@@ -147,7 +147,7 @@ class MultiModalTrainer:
         self.base_key = jax.random.PRNGKey(self.tcfg.seed)
         self._host_rng = np.random.default_rng(self.tcfg.seed)
 
-        total_steps = (self.tcfg.num_epochs * len(train_dataloader)
+        total_steps = (self.tcfg.num_epochs * self._steps_per_epoch()
                        // self.ocfg.gradient_accumulation_steps)
         self.tx, self.schedule = make_optimizer(self.ocfg, max(total_steps, 1))
 
@@ -159,6 +159,9 @@ class MultiModalTrainer:
     # ------------------------------------------------------------------
     # initialization / sharding
     # ------------------------------------------------------------------
+
+    def _steps_per_epoch(self) -> int:
+        return len(self.train_dataloader)
 
     def _example_batch(self) -> Dict[str, jnp.ndarray]:
         batch = next(iter(self.train_dataloader))

@@ -1,0 +1,107 @@
+"""Multi-session pretraining (BASELINE.json configs 4-5).
+
+Trains one session-stitched MultiModal over many sessions: shared trunk,
+per-session tokenizer/head params selected by a traced session id, batches
+interleaved across sessions, DP over the device mesh with --dp.
+
+Offline: --synthetic generates N sessions with varying neuron counts.
+Online: --eids <eid1> <eid2> ... loads aligned IBL sessions from the hub.
+"""
+
+import argparse
+import json
+import os
+
+from _common import add_common_args, build_mesh, log_dir_for
+
+from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
+                                                     default_config_path,
+                                                     update_config)
+from multi_modal_foundation_model_tpu.data.session import (
+    DEFAULT_TARGETS, load_ibl_session, synthetic_splits)
+from multi_modal_foundation_model_tpu.models.multimodal import (
+    MultiModal, MultiModalConfig)
+from multi_modal_foundation_model_tpu.ops.masking import RegionTable
+from multi_modal_foundation_model_tpu.train import (MetricLogger,
+                                                    MultiSessionTrainer,
+                                                    OptimizerConfig,
+                                                    TrainerConfig,
+                                                    build_multisession_loaders)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    add_common_args(ap)
+    ap.add_argument("--eids", type=str, nargs="*", default=None)
+    ap.add_argument("--num_sessions", type=int, default=4,
+                    help="synthetic session count")
+    ap.add_argument("--mask_ratio", type=float, default=0.3)
+    ap.add_argument("--use_MtM", action="store_true")
+    ap.add_argument("--mixed_training", action="store_true")
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--pad_multiple", type=int, default=128)
+    args = ap.parse_args()
+
+    config = config_from_kwargs(
+        {"model": f"include:{default_config_path('multi_modal/mm.yaml')}"})
+    config = update_config(default_config_path("multi_modal/trainer_mm.yaml"),
+                           config)
+    config.model.masker["ratio"] = args.mask_ratio
+    if args.num_epochs is not None:
+        config.training["num_epochs"] = args.num_epochs
+    if args.batch_size is not None:
+        config.training["train_batch_size"] = args.batch_size
+
+    if args.synthetic or not args.eids:
+        rng_neurons = [args.n_neurons + 37 * i for i in range(args.num_sessions)]
+        sessions = {
+            f"{args.eid}-{i}": synthetic_splits(
+                seed=args.seed + i, n_trials=args.n_trials,
+                n_neurons=rng_neurons[i], eid=f"{args.eid}-{i}")
+            for i in range(args.num_sessions)}
+    else:
+        sessions = {e: load_ibl_session(e) for e in args.eids}
+
+    avail_beh = list(DEFAULT_TARGETS)
+    bs = int(config.training.train_batch_size)
+    T = int(config.data.max_time_length)
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=bs, max_time_length=T,
+        pad_multiple=args.pad_multiple, target=avail_beh, seed=args.seed)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+
+    modal_filter = {"input": ["ap", "behavior"], "output": ["ap", "behavior"]}
+    log_dir = log_dir_for(args.base_path, f"multi{len(sessions)}",
+                          modal_filter, f"stitched_ratio-{args.mask_ratio}")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "sessions.json"), "w") as f:
+        json.dump({"eids": meta["eids"], "num_neurons": meta["num_neurons"],
+                   "n_max": meta["n_max"]}, f)
+
+    mm_config = MultiModalConfig.from_config(
+        config.model,
+        n_channels={"ap": meta["n_max"], "behavior": len(avail_beh)},
+        n_sessions=len(meta["eids"]))
+    model = MultiModal(mm_config)
+
+    mask_mode = (("inter-region", "intra-region", "neuron", "temporal")
+                 if args.use_MtM else tuple(config.training.mask_mode))
+    tcfg = TrainerConfig(
+        num_epochs=int(config.training.num_epochs),
+        mask_type="input" if args.use_MtM else str(config.training.mask_type),
+        mask_mode=mask_mode,
+        mixed_training=args.mixed_training,
+        save_every=int(config.training.save_every),
+        seed=args.seed, log_dir=log_dir)
+
+    trainer = MultiSessionTrainer(
+        model, train, val, OptimizerConfig.from_config(config.optimizer),
+        tcfg, region_table=table, eid_to_sid=meta["eid_to_sid"],
+        mesh=build_mesh(args.dp), logger=MetricLogger(log_dir))
+    summary = trainer.train()
+    print("best:", {k: v for k, v in summary.items() if k != "history"})
+
+
+if __name__ == "__main__":
+    main()

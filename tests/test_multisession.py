@@ -1,0 +1,182 @@
+"""Multi-session stitching tests: stitched params, one-program-many-sessions,
+region table selection, loss masking of padded neurons, DP mesh compat."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_modal_foundation_model_tpu.data.session import synthetic_splits
+from multi_modal_foundation_model_tpu.models.multimodal import (
+    ModalityInput, MultiModal, MultiModalConfig)
+from multi_modal_foundation_model_tpu.ops.masking import MaskParams, RegionTable
+from multi_modal_foundation_model_tpu.train import (
+    MultiSessionTrainer, OptimizerConfig, TrainerConfig,
+    build_multisession_loaders)
+
+T = 20
+
+
+def sessions_fixture():
+    return {
+        "s_small": synthetic_splits(seed=1, n_trials=48, n_neurons=24,
+                                    n_timesteps=T, eid="s_small"),
+        "s_big": synthetic_splits(seed=2, n_trials=48, n_neurons=40,
+                                  n_timesteps=T, eid="s_big"),
+    }
+
+
+def stitched_model(n_max, n_sessions=2):
+    return MultiModal(MultiModalConfig(
+        n_channels={"ap": n_max, "behavior": 2}, max_F=T,
+        hidden_size=32, n_enc_layers=1, n_dec_layers=1, n_heads=2,
+        inter_size=64, dropout=0.1, embed_dropout=0.1,
+        mask_params=MaskParams(ratio=0.3), attn_impl="xla",
+        n_sessions=n_sessions))
+
+
+def test_loader_building_pads_to_common_nmax():
+    train, val, test, meta = build_multisession_loaders(
+        sessions_fixture(), batch_size=16, max_time_length=T, pad_multiple=64)
+    assert meta["n_max"] == 64
+    for e, loader in train.items():
+        assert loader.arrays["spikes_data"].shape[2] == 64
+        n_real = sessions_fixture()[e].n_neurons
+        assert loader.arrays["space_attn_mask"][0].sum() == n_real
+    # shared region vocab: ids must be consistent across sessions
+    assert meta["region_vocab"] == train["s_big"].arrays["region_vocab"]
+
+
+def test_region_table_select_matches_per_session():
+    _, _, _, meta = build_multisession_loaders(
+        sessions_fixture(), batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    for sid, ids in enumerate(meta["per_session_region_ids"]):
+        row = np.asarray(table.select(jnp.asarray(sid)).region_ids)
+        np.testing.assert_array_equal(row[:len(ids)], ids)
+        assert (row[len(ids):] == -1).all()
+
+
+def test_stitched_params_differ_by_session():
+    """Two sessions through the SAME compiled fn give different predictions
+    (session-indexed tokenizer/head params) but share the trunk."""
+    n_max = 64
+    model = stitched_model(n_max)
+    B = 4
+    rng = np.random.default_rng(0)
+    spikes = jnp.asarray(rng.poisson(0.3, (B, T, n_max)).astype(np.float32))
+    behavior = jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32))
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+
+    def mk():
+        return {
+            "ap": ModalityInput(inputs=spikes, targets=spikes,
+                                attn_mask=attn, timestamps=ts,
+                                eval_mask=jnp.ones_like(spikes, jnp.int32)),
+            "behavior": ModalityInput(inputs=behavior, targets=behavior,
+                                      attn_mask=attn, timestamps=ts,
+                                      eval_mask=jnp.zeros_like(behavior,
+                                                               jnp.int32)),
+        }
+
+    k = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r, sid: model.init(
+        r, mk(), training=False, session_id=sid))(
+        {"params": k}, jnp.asarray(0))["params"]
+
+    fwd = jax.jit(lambda p, sid: model.apply(
+        {"params": p}, mk(), training=False,
+        session_id=sid).mod_preds["ap"])
+    p0 = np.asarray(fwd(params, jnp.asarray(0, jnp.int32)))
+    p1 = np.asarray(fwd(params, jnp.asarray(1, jnp.int32)))
+    assert not np.allclose(p0, p1), "session params must differ"
+
+
+def test_padded_neurons_carry_no_loss():
+    n_max = 64
+    model = stitched_model(n_max, n_sessions=1)
+    # n_sessions=1 -> unstitched path, but space mask still applies
+    model = MultiModal(MultiModalConfig(
+        n_channels={"ap": n_max, "behavior": 2}, max_F=T,
+        hidden_size=32, n_enc_layers=1, n_dec_layers=1, n_heads=2,
+        inter_size=64, dropout=0.0, embed_dropout=0.0,
+        mask_params=MaskParams(ratio=0.3), attn_impl="xla"))
+    B, n_real = 4, 24
+    rng = np.random.default_rng(0)
+    spikes = rng.poisson(0.3, (B, T, n_max)).astype(np.float32)
+    spikes[:, :, n_real:] = 0.0
+    behavior = rng.normal(size=(B, T, 2)).astype(np.float32)
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+    space = np.zeros((B, n_max), np.int32)
+    space[:, :n_real] = 1
+
+    def mk(s):
+        return {
+            "ap": ModalityInput(inputs=jnp.asarray(s), targets=jnp.asarray(s),
+                                attn_mask=attn, timestamps=ts,
+                                eval_mask=jnp.ones((B, T, n_max), jnp.int32)),
+            "behavior": ModalityInput(
+                inputs=jnp.asarray(behavior), targets=jnp.asarray(behavior),
+                attn_mask=attn, timestamps=ts,
+                eval_mask=jnp.zeros((B, T, 2), jnp.int32)),
+        }
+
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k}, mk(spikes), training=False)["params"]
+    out_masked = model.apply({"params": params}, mk(spikes), training=False,
+                             space_attn_mask=jnp.asarray(space))
+    # corrupt padded-region targets: loss must not change when masked
+    spikes2 = spikes.copy()
+    spikes2[:, :, n_real:] = 77.0
+    out_masked2 = model.apply({"params": params}, mk(spikes2), training=False,
+                              space_attn_mask=jnp.asarray(space))
+    # padded TARGETS differ but masked loss path only sees real neurons via
+    # the loss mask; inputs also differ though (tokens) -> compare n_examples
+    assert float(out_masked.mod_n_examples["ap"]) == B * T * n_real
+    assert float(out_masked2.mod_n_examples["ap"]) == B * T * n_real
+
+
+def test_multisession_trainer_end_to_end(tmp_path):
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+    tr = MultiSessionTrainer(
+        model, train, val,
+        OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=2, log_dir=str(tmp_path), seed=0,
+                      mask_type="input",
+                      mask_mode=("temporal", "inter-region", "intra-region"),
+                      mixed_training=True),
+        region_table=table, eid_to_sid=meta["eid_to_sid"])
+    res = tr.train()
+    h = res["history"]
+    assert np.isfinite(h[-1]["train_loss"])
+    assert h[-1]["train_loss"] < h[0]["train_loss"] * 1.5  # moving, not NaN
+    assert np.isfinite(res["best_eval_trial_avg_r2"])
+    # exactly one compiled step per (objective, mtm) pair serves BOTH sessions
+    assert len(tr._train_steps) <= 3
+
+
+def test_multisession_dp_mesh(tmp_path):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",))
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+    tr = MultiSessionTrainer(
+        model, train, val,
+        OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=1, log_dir=str(tmp_path), seed=0),
+        region_table=table, eid_to_sid=meta["eid_to_sid"], mesh=mesh)
+    out = tr.train_epoch(0)
+    assert np.isfinite(out["train_loss"])
