@@ -1,0 +1,55 @@
+"""Utils tests: plotting figures render, seeding, profiling accounting."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_foundation_model_tpu.utils import (MFUTracker, StepTimer,
+                                                    plot_gt_pred,
+                                                    plot_neurons_r2, set_seed)
+
+
+def test_set_seed_reproducible():
+    set_seed(7, verbose=False)
+    a = np.random.rand(3)
+    set_seed(7, verbose=False)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_plot_functions_render():
+    rng = np.random.default_rng(0)
+    gt = rng.poisson(1.0, (20, 50)).astype(float)
+    pred = gt + rng.normal(scale=0.1, size=gt.shape)
+    fig = plot_gt_pred(gt, pred, epoch=3, modality="ap")
+    assert fig is not None
+    fig2 = plot_neurons_r2(gt, pred, epoch=3, neuron_idx=[0, 1])
+    assert fig2 is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_step_timer_warmup():
+    t = StepTimer(warmup=2)
+    for _ in range(5):
+        with t:
+            pass
+    assert len(t.times) == 3
+    assert t.steps_per_sec() > 0
+
+
+def test_mfu_from_compiled_step():
+    x = jnp.ones((128, 128))
+
+    def f(a):
+        return a @ a
+
+    compiled = jax.jit(f).lower(x).compile()
+    mfu = MFUTracker(compiled, peak_flops=1e12)
+    # 128^3 * 2 flops for a matmul
+    assert mfu.flops_per_step >= 2 * 128 ** 3 * 0.9
+    assert 0 < mfu.mfu(1e-3) < 1.0
+
+    flops = MFUTracker.flops_of(f, x)
+    assert flops == mfu.flops_per_step
