@@ -417,6 +417,29 @@ class MultiModalTrainer:
                          f"best_eval_trial_avg_{self.metric}": best_metric})
         return summary
 
+    def restore(self, name: str = "last") -> int:
+        """Resume from a checkpoint: params + optimizer state + step.
+
+        Returns the epoch recorded at save time (the reference has no
+        resume path at all — SURVEY.md §5; its checkpoints lack optimizer
+        state entirely).
+        """
+        from .checkpoint import load_checkpoint_meta, restore_checkpoint
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        tree = restore_checkpoint(self.tcfg.log_dir, name,
+                                  target=jax.device_get(target))
+        self.state = self.state.replace(
+            params=tree["params"], opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]))
+        if self.mesh is not None:
+            P = jax.sharding.PartitionSpec
+            self.state = jax.device_put(
+                self.state, jax.sharding.NamedSharding(self.mesh, P()))
+        meta = load_checkpoint_meta(self.tcfg.log_dir, name) or {}
+        return int(meta.get("epoch", 0))
+
     def save_model(self, name: str = "last", epoch: int = 0,
                    metric: Optional[float] = None) -> str:
         os.makedirs(self.tcfg.log_dir, exist_ok=True)

@@ -177,3 +177,39 @@ def test_dp_matches_single_device(tmp_path):
                     jax.tree_util.tree_leaves(g_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """Resume restores params + opt_state + step exactly: training 2 epochs
+    equals training 1 epoch, checkpointing, restoring, training 1 more."""
+    import jax.numpy as jnp
+
+    def make_trainer(logdir, epochs):
+        train, val, _ = tiny_loaders()
+        model = tiny_model(dropout=0.0, embed_dropout=0.0)
+        return MultiModalTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=epochs, log_dir=logdir, seed=0,
+                          eval_every=10**9))
+
+    # straight-through run, 2 epochs
+    tr_a = make_trainer(str(tmp_path / "a"), 2)
+    tr_a.train_epoch(0)
+    tr_a.train_epoch(1)
+    p_straight = jax.device_get(tr_a.state.params)
+
+    # checkpoint after epoch 0, fresh trainer, restore, epoch 1
+    tr_b = make_trainer(str(tmp_path / "b"), 2)
+    tr_b.train_epoch(0)
+    tr_b.save_model("last", epoch=0)
+    tr_c = make_trainer(str(tmp_path / "b"), 2)
+    epoch = tr_c.restore("last")
+    assert epoch == 0
+    assert int(tr_c.state.step) == int(tr_b.state.step)
+    tr_c.train_epoch(1)
+    p_resumed = jax.device_get(tr_c.state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_straight),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
