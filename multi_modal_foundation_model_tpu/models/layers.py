@@ -29,7 +29,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import MaskSpec, multi_head_attention
+
+
+def _attn_call(q, k, v, n_heads, mask, dropout_rate, dropout_key, impl):
+    """Dispatch on mask form: MaskSpec rides the fused kernel; full arrays
+    fall back to the oracle path inside multi_head_attention."""
+    if isinstance(mask, MaskSpec) or mask is None:
+        return multi_head_attention(
+            q, k, v, n_heads, mask_spec=mask, dropout_rate=dropout_rate,
+            dropout_key=dropout_key, impl=impl)
+    return multi_head_attention(
+        q, k, v, n_heads, mask=mask, dropout_rate=dropout_rate,
+        dropout_key=dropout_key, impl=impl)
 
 ACT2FN = {
     "gelu": nn.gelu,
@@ -151,10 +163,8 @@ class Attention(nn.Module):
         drop_rate = 0.0 if deterministic else self.dropout
         drop_key = (self.make_rng("dropout")
                     if drop_rate > 0.0 else None)
-        out = multi_head_attention(
-            q, k, v, self.n_heads, mask=mask,
-            dropout_rate=drop_rate, dropout_key=drop_key,
-            impl=self.attn_impl)
+        out = _attn_call(q, k, v, self.n_heads, mask, drop_rate, drop_key,
+                         self.attn_impl)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return _dense(h, fan, self.use_bias,
                       kernel_init=(fixup_scaled_init(fix) if fix
@@ -186,10 +196,8 @@ class CrossAttention(nn.Module):
         drop_rate = 0.0 if deterministic else self.dropout
         drop_key = (self.make_rng("dropout")
                     if drop_rate > 0.0 else None)
-        out = multi_head_attention(
-            q, k, v, self.n_heads, mask=mask,
-            dropout_rate=drop_rate, dropout_key=drop_key,
-            impl=self.attn_impl)
+        out = _attn_call(q, k, v, self.n_heads, mask, drop_rate, drop_key,
+                         self.attn_impl)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return _dense(h, fan, self.use_bias,
                       kernel_init=(fixup_scaled_init(fix) if fix

@@ -44,7 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import create_context_mask, multi_head_attention
+from ..ops.attention import (MaskSpec, create_context_mask,
+                             multi_head_attention)
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
 from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,
@@ -114,6 +115,11 @@ class MultiModalConfig:
     attn_impl: str = "pallas"
     compute_dtype: Any = jnp.float32
     share_modality_embeddings: bool = True
+    # rematerialize each transformer layer in backward: the 15 attention
+    # ops' saved probabilities otherwise exceed HBM at production batch and
+    # trigger XLA's pathological auto-remat with compressed activation
+    # copies (measured: 91 ms vs 9 ms for the 5-layer decoder at B=256)
+    remat_layers: bool = True
     # multi-session stitching (new work; >1 switches the 'ap' tokenizer and
     # head to session-indexed params and adds a session embedding)
     n_sessions: int = 1
@@ -259,17 +265,24 @@ class MultiModal(nn.Module):
 
         enc_cfg = _TransformerCfg(mc, mc.n_enc_layers)
         dec_cfg = _TransformerCfg(mc, mc.n_dec_layers)
-        self.encoder = [EncoderLayer(enc_cfg, attn_impl=mc.attn_impl,
-                                     dtype=mc.compute_dtype,
-                                     name=f"encoder_{i}")
+        if mc.remat_layers:
+            # deterministic flag is static: EncoderLayer(x, mask, det),
+            # DecoderLayer(x, ctx, sa, xa, det) — argnum counts self
+            enc_layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            dec_layer_cls = nn.remat(DecoderLayer, static_argnums=(5,))
+        else:
+            enc_layer_cls, dec_layer_cls = EncoderLayer, DecoderLayer
+        self.encoder = [enc_layer_cls(enc_cfg, attn_impl=mc.attn_impl,
+                                      dtype=mc.compute_dtype,
+                                      name=f"encoder_{i}")
                         for i in range(mc.n_enc_layers)]
         self.encoder_norm = nn.LayerNorm(name="encoder_norm")
         self.decoder_proj_context = nn.Dense(
             mc.hidden_size, name="decoder_proj_context",
             dtype=mc.compute_dtype)
-        self.decoder = [DecoderLayer(dec_cfg, attn_impl=mc.attn_impl,
-                                     dtype=mc.compute_dtype,
-                                     name=f"decoder_{i}")
+        self.decoder = [dec_layer_cls(dec_cfg, attn_impl=mc.attn_impl,
+                                      dtype=mc.compute_dtype,
+                                      name=f"decoder_{i}")
                         for i in range(mc.n_dec_layers)]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
         self.out_proj = {
@@ -329,30 +342,36 @@ class MultiModal(nn.Module):
     # attention-mask construction
     # ------------------------------------------------------------------
 
-    def _encoder_attn_mask(self, attn_tokens: jnp.ndarray) -> jnp.ndarray:
-        """(B, N, N): eye OR (context AND key-padding) (``mm.py:152-158``)."""
-        B, N = attn_tokens.shape
-        pad = jnp.broadcast_to(attn_tokens[:, None, :], (B, N, N))
-        eye = jnp.eye(N, dtype=pad.dtype)[None]
+    def _encoder_attn_mask(self, attn_tokens: jnp.ndarray) -> MaskSpec:
+        """eye OR (context AND key-padding) (``mm.py:152-158``) — as a
+        (key_pad, static) decomposition the fused kernel consumes without
+        ever materializing a (B, N, N) tensor."""
+        N = attn_tokens.shape[1]
         # context mask is all-ones in the reference live path (mm.py:155)
-        return (eye.astype(bool) | pad.astype(bool)).astype(jnp.int32)
+        return MaskSpec(key_pad=attn_tokens,
+                        static=jnp.eye(N, dtype=jnp.int32))
 
-    def _decoder_attn_mask(self, attn_tokens: jnp.ndarray) -> jnp.ndarray:
-        """(B, N, N) with optional causal / modality-separation terms
-        (``mm.py:178-194``; OR-composition replicated as-is)."""
+    def _decoder_attn_mask(self, attn_tokens: jnp.ndarray) -> MaskSpec:
+        """pad / causal / modality-separation terms (``mm.py:178-194``;
+        OR-composition replicated as-is) as a (key_pad, static) pair."""
         mc = self.config
-        B, N = attn_tokens.shape
+        N = attn_tokens.shape[1]
         T = mc.max_F
+        static = None
+        key_pad = attn_tokens
         if mc.decoder_causal_mask:
-            base = jnp.broadcast_to(
-                create_context_mask(0, -1, N)[None], (B, N, N))
-        else:
-            base = jnp.broadcast_to(attn_tokens[:, None, :], (B, N, N))
+            static = create_context_mask(0, -1, N)
+            key_pad = None                 # causal replaces the pad term
         if mc.decoder_sep_mask:
             mod_of_token = np.repeat(np.arange(len(mc.avail_mod)), T)
-            sep = (mod_of_token[:, None] != mod_of_token[None, :])
-            base = base.astype(bool) | jnp.asarray(sep)[None]
-        return base.astype(jnp.int32)
+            sep = jnp.asarray(
+                mod_of_token[:, None] != mod_of_token[None, :], jnp.int32)
+            static = sep if static is None else (
+                (static.astype(bool) | sep.astype(bool)).astype(jnp.int32))
+        if mc.decoder_causal_mask and key_pad is None and static is not None:
+            # causal-only: no pad term may re-admit padded keys
+            key_pad = jnp.zeros_like(attn_tokens)
+        return MaskSpec(key_pad=key_pad, static=static)
 
     # ------------------------------------------------------------------
     # forward
@@ -426,16 +445,16 @@ class MultiModal(nn.Module):
         enc_attn = self._encoder_attn_mask(attn_token)
         dec_attn = self._decoder_attn_mask(attn_token)
 
+        # positional args: nn.remat static_argnums indexes positionally
         x = enc_tokens + enc_emb
         for layer in self.encoder:
-            x = layer(x, mask=enc_attn, deterministic=deterministic)
+            x = layer(x, enc_attn, deterministic)
         x = self.encoder_norm(x.astype(jnp.float32)).astype(mc.compute_dtype)
 
         context = self.decoder_proj_context(x) + enc_emb
         y = dec_tokens + dec_emb
         for layer in self.decoder:
-            y = layer(y, context, sa_mask=dec_attn, xa_mask=enc_attn,
-                      deterministic=deterministic)
+            y = layer(y, context, dec_attn, enc_attn, deterministic)
         y = self.decoder_norm(y.astype(jnp.float32))
 
         # static per-modality slices replace the reference's boolean gather

@@ -3,23 +3,35 @@
 This is the framework's native-op tier, replacing the reference's single
 "kernel-level" dependency — ``F.scaled_dot_product_attention`` in
 ``/root/reference/src/multi_modal/mm_utils.py:111,149`` — with a TPU-first
-design:
+design shaped by hardware profiling:
 
-- one fused Pallas kernel per (batch, head): QK^T + additive mask bias →
-  softmax → (optional in-kernel probability dropout via the TPU PRNG) → PV,
-  all resident in VMEM (sequences here are ≤256 tokens, so the whole
-  attention state fits on-chip; no HBM roundtrip for the score matrix);
-- a custom VJP whose backward pass is a second fused kernel that
-  *recomputes* the softmax (cheaper than spilling probabilities to HBM at
-  these sizes) and regenerates the identical dropout mask from the same
-  per-(batch,head) PRNG seed;
-- an ``impl="xla"`` path with identical math used as a fallback and as the
-  oracle in kernel parity tests.
+- **Natural layout in, natural layout out.** The kernel consumes q/k/v as
+  ``(B, T, H*D)`` exactly as the projections produce them and splits heads
+  *inside* the kernel via static lane slices. The conventional
+  ``(B, H, T, D)`` head transpose materializes D=32-minor tensors that
+  waste 4x HBM on every touch (lane padding to 128) — measured as the
+  dominant cost of the einsum path at production batch sizes.
+- **Masks as (key_pad, static) decompositions, biased in-kernel.** Every
+  mask this model uses — encoder ``eye OR pad`` (``mm.py:152-158``),
+  decoder pad / causal / modality-separation (``mm.py:178-194``) — is
+  ``attend(b,q,k) = static(q,k) OR key_pad(b,k)``. The kernel rebuilds the
+  additive bias from a ``(B,1,Tk)`` int vector and a shared ``(Tq,Tk)``
+  matrix, eliminating the (B,T,T) f32 bias tensors (41 MB per call at
+  B=256) entirely.
+- **Blocked grid.** Each grid step processes a block of batches (all heads)
+  sized to VMEM; a per-(batch,head) grid serializes B*H tiny matmuls
+  through the scalar core (measured ~100x off peak).
+- **In-kernel probability dropout** via the TPU PRNG; the custom VJP
+  *recomputes* the softmax in backward (cheaper than spilling (B,H,T,T)
+  probabilities to HBM, which triggers XLA's compressed-spill pathology)
+  and regenerates the identical dropout mask from the same per-step seed
+  and draw order.
+- ``impl="xla"`` — plain-einsum oracle with identical math, used as the
+  parity reference in tests and as the fallback for arbitrary full masks.
 
-Masks are additive f32 biases (0 = attend, ``NEG_INF``-ish = don't). A large
-*finite* negative is used instead of ``-inf`` so fully-masked rows (padded
-trials/tokens) produce a uniform-attention row instead of NaNs; such rows
-carry zero loss weight downstream.
+A large *finite* negative (NEG_INF) is used instead of ``-inf`` so
+fully-masked rows (padded trials) produce uniform attention instead of
+NaNs; such rows carry zero loss weight downstream.
 
 Also hosts ``create_context_mask`` — the banded context-window matrix
 (parity: ``mm_utils.py:17-28``).
@@ -28,7 +40,7 @@ Also hosts ``create_context_mask`` — the banded context-window matrix
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +49,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-_LANE = 128
+
+
+class MaskSpec(NamedTuple):
+    """attend(b, q, k) = static(q, k) OR key_pad(b, k).
+
+    ``key_pad``: (B, Tk) or (B, 1, Tk) int, 1 = key attendable (None = none
+    attendable through this term). ``static``: (Tq, Tk) bool/int shared
+    across the batch (None = all-False). Covers every mask in the model:
+    encoder ``eye | pad``, decoder pad-only, causal (static only),
+    modality-separation ``pad | sep``.
+    """
+
+    key_pad: Optional[jnp.ndarray] = None
+    static: Optional[jnp.ndarray] = None
 
 
 def create_context_mask(context_forward: int, context_backward: int,
@@ -61,8 +86,15 @@ def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def spec_to_bias(spec: MaskSpec, B: int, Tq: int, Tk: int) -> jnp.ndarray:
+    """(B, Tq, Tk) additive bias from a MaskSpec (oracle/xla path)."""
+    attend = jnp.zeros((B, Tq, Tk), bool)
+    if spec.static is not None:
+        attend = attend | spec.static.astype(bool)[None]
+    if spec.key_pad is not None:
+        pad = spec.key_pad.reshape(B, Tk)
+        attend = attend | (pad.astype(bool))[:, None, :]
+    return mask_to_bias(attend)
 
 
 # ---------------------------------------------------------------------------
@@ -70,144 +102,201 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _dropout_mask(shape, rate: float):
-    """Regenerate the in-kernel dropout keep-mask (uint32 threshold test)."""
+    """In-kernel dropout keep-mask (uint32 threshold test)."""
     bits = pltpu.prng_random_bits(shape)
     threshold = np.uint32(min(rate, 1.0) * np.float64(2**32 - 1))
     return bits > threshold
 
 
-def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                     *, scale: float, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+def _kernel_bias(pad_ref, static_ref, GB: int, Tq: int, Tk: int):
+    """Rebuild the additive bias block from (GB,1,Tk) pad + (1,Tq,Tk) static."""
+    attend = static_ref[0] > 0                            # (Tq, Tk)
+    attend = jnp.broadcast_to(attend[None], (GB, Tq, Tk))
+    attend = attend | (pad_ref[:, 0, :] > 0)[:, None, :]
+    return jnp.where(attend, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
+                     o_ref, *, scale: float, dropout_rate: float,
+                     n_heads: int, d_head: int):
+    GB, Tq, _ = q_ref.shape
+    Tk = k_ref.shape[1]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    bias = _kernel_bias(pad_ref, static_ref, GB, Tq, Tk)
     if dropout_rate > 0.0:
-        # [0, 0]: SMEM loads must be scalar on TPU (a [0] slice is not)
+        # seed once per grid step; per-head draws then follow a fixed order
+        # that the backward kernel replays exactly
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        keep = _dropout_mask(p.shape, dropout_rate)
-        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
+    outs = []
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        s = jax.lax.dot_general(q[..., sl], k[..., sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _dropout_mask(p.shape, dropout_rate)
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        o = jax.lax.dot_general(p, v[..., sl], (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) / l
+        outs.append(o)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref,
-                     *, scale: float, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-
-    # recompute normalized probabilities (and the identical dropout mask)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    pn = e / l                                    # softmax probs
+def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
+                     g_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float, dropout_rate: float,
+                     n_heads: int, d_head: int):
+    GB, Tq, _ = q_ref.shape
+    Tk = k_ref.shape[1]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    bias = _kernel_bias(pad_ref, static_ref, GB, Tq, Tk)
     if dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        keep = _dropout_mask(pn.shape, dropout_rate)
-        mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
-    else:
-        mscale = None
-
-    pd = pn * mscale if mscale is not None else pn  # dropped/scaled probs
-    # dv = pd^T @ g
-    dv = jax.lax.dot_general(pd, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # dpd = g @ v^T
-    dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dpn = dpd * mscale if mscale is not None else dpd
-    # softmax backward: ds = pn * (dpn - rowsum(dpn * pn))
-    ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dqs, dks, dvs = [], [], []
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh, kh, vh, gh = q[..., sl], k[..., sl], v[..., sl], g[..., sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        pn = e / l
+        if dropout_rate > 0.0:
+            keep = _dropout_mask(pn.shape, dropout_rate)
+            mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+            pd = pn * mscale
+        else:
+            mscale, pd = None, pn
+        # dv = pd^T @ g ; dpd = g @ v^T
+        dv = jax.lax.dot_general(pd, gh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(gh, vh, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dpn = dpd * mscale if mscale is not None else dpd
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, kh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dq_ref[...] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
 def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bh_specs(n_heads: int, tq: int, tk: int, d: int):
-    """Block specs for (BH, T, D) operands + (B, Tq, Tk) head-shared bias."""
+def _block_batches(tq: int, tk: int, hidden: int, n_temps: int,
+                   vmem_budget: int = 6 * 2**20) -> int:
+    """Batches per grid step: score temporaries + operand blocks in VMEM."""
+    per_batch = tq * tk * 4 * n_temps + 4 * tq * hidden * 4
+    return max(1, vmem_budget // per_batch)
+
+
+def _pad_b(x, gb: int):
+    pad = (-x.shape[0]) % gb
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+def _specs(gb: int, tq: int, tk: int, hidden: int):
     return [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),  # seed
-        pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tq, tk), lambda i: (i // n_heads, 0, 0),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((gb, tq, hidden), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, tk, hidden), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, tk, hidden), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, 1, tk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, tk), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_mha(q, k, v, bias, seed, scale, dropout_rate, n_heads):
-    """q/k/v: (B*H, T, D) padded; bias: (B, Tq, Tk) f32; seed: (1,1) int32."""
-    BH, Tq, D = q.shape
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
+               n_heads, d_head):
+    """q: (B, Tq, H*D); k/v: (B, Tk, H*D); key_pad: (B, 1, Tk) int32;
+    static: (1, Tq, Tk) int32; seed: (1, 1) int32."""
+    B, Tq, hidden = q.shape
     Tk = k.shape[1]
+    # with dropout the fwd/bwd grids MUST tile the batch axis identically
+    # (dropout draws are seeded per grid step): use the bwd-safe block size
+    gb = min(_block_batches(Tq, Tk, hidden,
+                            n_temps=8 if dropout_rate > 0.0 else 4), B)
+    qp, kp, vp = _pad_b(q, gb), _pad_b(k, gb), _pad_b(v, gb)
+    pad_p = _pad_b(key_pad, gb)
     kernel = functools.partial(_attn_fwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate)
-    return pl.pallas_call(
+                               dropout_rate=dropout_rate, n_heads=n_heads,
+                               d_head=d_head)
+    out = pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=_bh_specs(n_heads, Tq, Tk, D),
-        out_specs=pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
+        grid=(qp.shape[0] // gb,),
+        in_specs=_specs(gb, Tq, Tk, hidden),
+        out_specs=pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Tq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         interpret=_should_interpret(),
-    )(seed, q, k, v, bias)
+    )(seed, qp, kp, vp, pad_p, static)
+    return out[:B]
 
 
-def _flash_mha_fwd(q, k, v, bias, seed, scale, dropout_rate, n_heads):
-    out = _flash_mha(q, k, v, bias, seed, scale, dropout_rate, n_heads)
-    return out, (q, k, v, bias, seed)
+def _flash_mha_fwd(q, k, v, key_pad, static, seed, scale, dropout_rate,
+                   n_heads, d_head):
+    out = _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
+                     n_heads, d_head)
+    return out, (q, k, v, key_pad, static, seed)
 
 
-def _flash_mha_bwd(scale, dropout_rate, n_heads, res, g):
-    q, k, v, bias, seed = res
-    BH, Tq, D = q.shape
+def _flash_mha_bwd(scale, dropout_rate, n_heads, d_head, res, g):
+    q, k, v, key_pad, static, seed = res
+    B, Tq, hidden = q.shape
     Tk = k.shape[1]
+    # bwd holds ~6 score-shaped temporaries live per head plus 7 operand
+    # blocks; size the block separately from fwd. The dropout replay stays
+    # exact because draws are per (program grid step, head) in fixed order
+    # and the bwd grid tiles the same batch axis.
+    gb = min(_block_batches(Tq, Tk, hidden, n_temps=8), B)
+    qp, kp, vp, gp = (_pad_b(x, gb) for x in (q, k, v, g))
+    pad_p = _pad_b(key_pad, gb)
     kernel = functools.partial(_attn_bwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, n_heads=n_heads,
+                               d_head=d_head)
+    blk_q = pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((gb, Tk, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=_bh_specs(n_heads, Tq, Tk, D) + [
-            pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, Tk, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, Tk, D), v.dtype),
-        ],
+        grid=(qp.shape[0] // gb,),
+        in_specs=_specs(gb, Tq, Tk, hidden) + [blk_q],
+        out_specs=[blk_q, blk_k, blk_k],
+        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                   jax.ShapeDtypeStruct(kp.shape, k.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, v.dtype)],
         interpret=_should_interpret(),
-    )(seed, q, k, v, bias, g)
-    zero_bias = np.zeros(bias.shape, dtype=jax.dtypes.float0) \
-        if not jnp.issubdtype(bias.dtype, jnp.floating) else jnp.zeros_like(bias)
-    zero_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, zero_bias, zero_seed
+    )(seed, qp, kp, vp, pad_p, static, gp)
+    zeros = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dq[:B], dk[:B], dv[:B], zeros(key_pad), zeros(static),
+            zeros(seed))
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
@@ -217,36 +306,46 @@ _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 # public API
 # ---------------------------------------------------------------------------
 
-def _xla_attention(q, k, v, bias, dropout_rate, dropout_key):
-    """Reference-math path: (B, H, Tq, D) heads-first operands."""
-    scale = 1.0 / np.sqrt(q.shape[-1])
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
+def _xla_attention(q, k, v, bias, n_heads, dropout_rate, dropout_key):
+    """Reference-math oracle on (B, T, H*D) operands."""
+    B, Tq, hidden = q.shape
+    Tk = k.shape[1]
+    D = hidden // n_heads
+    scale = 1.0 / np.sqrt(D)
+
+    def split(x, T):
+        return x.reshape(B, T, n_heads, D).transpose(0, 2, 1, 3)
+
+    qh = split(q.astype(jnp.float32), Tq)
+    kh = split(k.astype(jnp.float32), Tk)
+    vh = split(v.astype(jnp.float32), Tk)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
     s = s + bias[:, None, :, :]
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, hidden).astype(q.dtype)
 
 
 def multi_head_attention(
-    q: jnp.ndarray,                    # (B, Tq, hidden)
-    k: jnp.ndarray,                    # (B, Tk, hidden)
-    v: jnp.ndarray,                    # (B, Tk, hidden)
+    q: jnp.ndarray,                        # (B, Tq, hidden)
+    k: jnp.ndarray,                        # (B, Tk, hidden)
+    v: jnp.ndarray,                        # (B, Tk, hidden)
     n_heads: int,
-    mask: Optional[jnp.ndarray] = None,    # (B, Tq, Tk) 1=attend
+    mask: Optional[jnp.ndarray] = None,    # (B, Tq, Tk) 1=attend (full form)
     bias: Optional[jnp.ndarray] = None,    # additive, overrides mask
+    mask_spec: Optional[MaskSpec] = None,  # decomposed form (kernel-native)
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
     impl: str = "pallas",
 ) -> jnp.ndarray:
     """Fused MHA over already-projected q/k/v; returns (B, Tq, hidden).
 
-    ``impl="pallas"`` pads sequence lengths up to lane multiples, runs the
-    fused kernel per (batch, head), and slices back; ``impl="xla"`` is the
-    plain-einsum oracle. Both use f32 accumulation regardless of input dtype.
+    Prefer ``mask_spec`` (key-pad + static decomposition): the fused kernel
+    consumes it directly. A full ``mask``/``bias`` tensor cannot ride the
+    kernel's operand layout and falls back to the XLA oracle path.
     """
     B, Tq, hidden = q.shape
     Tk = k.shape[1]
@@ -254,48 +353,43 @@ def multi_head_attention(
     D = hidden // n_heads
     scale = 1.0 / np.sqrt(D)
 
-    if bias is None:
-        if mask is None:
-            bias = jnp.zeros((B, Tq, Tk), jnp.float32)
-        else:
-            bias = mask_to_bias(mask)
-    bias = bias.astype(jnp.float32)
-
     if dropout_rate > 0.0 and dropout_key is None:
         raise ValueError("dropout_rate > 0 requires dropout_key")
 
-    def split_heads(x, T):
-        return x.reshape(B, T, n_heads, D).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = split_heads(q, Tq), split_heads(k, Tk), split_heads(v, Tk)
+    if impl == "pallas" and (mask is not None or bias is not None):
+        impl = "xla"                      # full masks -> oracle path
+    if impl == "pallas" and dropout_rate > 0.0 and _should_interpret():
+        impl = "xla"  # pltpu.prng_* is TPU-only; interpret mode -> oracle
 
     if impl == "xla":
-        out = _xla_attention(qh, kh, vh, bias, dropout_rate, dropout_key)
-        return out.transpose(0, 2, 1, 3).reshape(B, Tq, hidden)
+        if bias is None:
+            if mask is not None:
+                bias = mask_to_bias(mask)
+            elif mask_spec is not None:
+                bias = spec_to_bias(mask_spec, B, Tq, Tk)
+            else:
+                bias = jnp.zeros((B, Tq, Tk), jnp.float32)
+        return _xla_attention(q, k, v, bias.astype(jnp.float32), n_heads,
+                              dropout_rate, dropout_key)
 
-    # ---- pallas path: pad sequence dims to lane multiples ----
-    Tq_p, Tk_p = _round_up(Tq, _LANE), _round_up(Tk, _LANE)
-
-    def pad_T(x, T_p):
-        T = x.shape[2]
-        if T_p == T:
-            return x
-        return jnp.pad(x, ((0, 0), (0, 0), (0, T_p - T), (0, 0)))
-
-    qh, kh, vh = pad_T(qh, Tq_p), pad_T(kh, Tk_p), pad_T(vh, Tk_p)
-    bias_p = jnp.pad(bias, ((0, 0), (0, Tq_p - Tq), (0, Tk_p - Tk)),
-                     constant_values=NEG_INF)
+    # ---- fused kernel path ----
+    spec = mask_spec or MaskSpec()
+    if spec.key_pad is not None:
+        key_pad = spec.key_pad.reshape(B, 1, Tk).astype(jnp.int32)
+    else:
+        # no pad term: attend comes from static only (or everything when
+        # static is also None)
+        fill = 0 if spec.static is not None else 1
+        key_pad = jnp.full((B, 1, Tk), fill, jnp.int32)
+    static = (spec.static.astype(jnp.int32).reshape(1, Tq, Tk)
+              if spec.static is not None
+              else jnp.zeros((1, Tq, Tk), jnp.int32))
 
     if dropout_rate > 0.0:
-        seed = jax.random.randint(dropout_key, (1, 1), 0, np.int32(2**31 - 1),
-                                  dtype=jnp.int32)
+        seed = jax.random.randint(dropout_key, (1, 1), 0,
+                                  np.int32(2**31 - 1), dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
-    qf = qh.reshape(B * n_heads, Tq_p, D)
-    kf = kh.reshape(B * n_heads, Tk_p, D)
-    vf = vh.reshape(B * n_heads, Tk_p, D)
-    out = _flash_mha(qf, kf, vf, bias_p, seed, scale, float(dropout_rate),
-                     n_heads)
-    out = out.reshape(B, n_heads, Tq_p, D)[:, :, :Tq, :]
-    return out.transpose(0, 2, 1, 3).reshape(B, Tq, hidden)
+    return _flash_mha(q, k, v, key_pad, static, seed, scale,
+                      float(dropout_rate), n_heads, D)

@@ -203,11 +203,24 @@ def expand_timesteps(mask: jnp.ndarray, width) -> jnp.ndarray:
 
 def _corrupt(key: jax.Array, spikes: jnp.ndarray, mask: jnp.ndarray,
              params: MaskParams) -> jnp.ndarray:
-    """BERT-style corruption of masked positions (``masker.py:157-162``)."""
+    """BERT-style corruption of masked positions (``masker.py:157-162``).
+
+    ``zero_ratio``/``random_ratio`` are compile-time constants, so the
+    degenerate settings short-circuit statically: the default config
+    (zero_ratio=1.0) zeroes every masked element deterministically — the
+    general path would burn 3 full-(B,T,N) PRNG draws per step for nothing
+    (hundreds of MB of random bits on the VPU; measured as the throughput
+    bottleneck at production batch sizes).
+    """
+    if params.zero_ratio >= 1.0:
+        return jnp.where(mask, 0.0, spikes)
+
     kz, kr, ku = jax.random.split(key, 3)
     zero_idx = (jax.random.bernoulli(kz, params.zero_ratio, spikes.shape)
                 & mask)
     out = jnp.where(zero_idx, 0.0, spikes)
+    if params.random_ratio <= 0.0:
+        return out
     random_idx = (jax.random.bernoulli(kr, params.random_ratio, spikes.shape)
                   & mask & ~zero_idx)
     random_vals = spikes.max() * jax.random.uniform(ku, spikes.shape,

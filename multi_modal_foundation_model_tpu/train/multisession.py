@@ -132,25 +132,19 @@ class MultiSessionTrainer(MultiModalTrainer):
             {"params": k_param, "mask": k_mask, "dropout": k_drop},
             mod_inputs, session_id=jnp.asarray(0, jnp.int32),
             space_attn_mask=batch["space_attn_mask"])
+        from ..parallel import replicate
         from .trainer import TrainState
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            state = jax.device_put(
-                state, jax.sharding.NamedSharding(self.mesh, P()))
-        return state
+        return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
+        from ..parallel import shard_batch
         out = super()._device_batch(batch)
-        space = jnp.asarray(batch["space_attn_mask"])
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
-            space = jax.device_put(space, sh)
-        out["space_attn_mask"] = space
+        out.update(shard_batch(
+            {"space_attn_mask": batch["space_attn_mask"]}, self.mesh))
         return out
 
     def _get_train_step(self, training_mode, use_mtm):

@@ -65,6 +65,7 @@ class TrainerConfig:
     mixed_training: bool = False
     save_every: int = 100
     eval_every: int = 1
+    save_plot_every_n_epochs: int = 0    # 0 disables figure dumps
     metric: str = "r2"
     seed: int = 42
     log_dir: str = "results"
@@ -169,13 +170,9 @@ class MultiModalTrainer:
 
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
         """Array-only view of a batch, placed (and DP-sharded) on device."""
+        from ..parallel import shard_batch
         keys = ("spikes_data", "target", "time_attn_mask", "spikes_timestamps")
-        out = {k: jnp.asarray(batch[k]) for k in keys}
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
-            out = {k: jax.device_put(v, sh) for k, v in out.items()}
-        return out
+        return shard_batch({k: batch[k] for k in keys}, self.mesh)
 
     def _init_state(self) -> TrainState:
         batch = self._example_batch()
@@ -187,13 +184,10 @@ class MultiModalTrainer:
         variables = init_fn(
             {"params": k_param, "mask": k_mask, "dropout": k_drop},
             mod_inputs)
+        from ..parallel import replicate
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            rep = jax.sharding.NamedSharding(self.mesh, P())
-            state = jax.device_put(state, rep)
-        return state
+        return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------
     # mod_dict construction (parity: trainer/base.py:51-103)
@@ -406,6 +400,10 @@ class MultiModalTrainer:
             self.logger.log(row)
             history.append(row)
 
+            if (tcfg.save_plot_every_n_epochs and eval_res
+                    and epoch % tcfg.save_plot_every_n_epochs == 0):
+                self._plot_epoch(eval_res, epoch)
+
             if tcfg.save_every and epoch and epoch % tcfg.save_every == 0:
                 self.save_model("last", epoch=epoch)
 
@@ -416,6 +414,31 @@ class MultiModalTrainer:
         self.logger.log({"final": True, "best_epoch": best_epoch,
                          f"best_eval_trial_avg_{self.metric}": best_metric})
         return summary
+
+    def _plot_epoch(self, eval_res, epoch: int) -> None:
+        """GT-vs-pred diagnostic figures every n epochs (reference
+        ``plot_epoch``, ``trainer/base.py:146-167,272-300``)."""
+        import matplotlib.pyplot as plt
+
+        from ..utils.plotting import plot_gt_pred, plot_neurons_r2
+        for mod in self.modal_filter["output"]:
+            gt = eval_res["eval_gt"].get(mod)
+            preds = eval_res["eval_preds"].get(mod)
+            if gt is None or len(gt) == 0:
+                continue
+            fig = plot_gt_pred(gt.mean(0).T, preds.mean(0).T,
+                               epoch=epoch, modality=mod)
+            fig.savefig(os.path.join(self.tcfg.log_dir,
+                                     f"gt_pred_fig_{mod}_{epoch}.png"))
+            if mod == "ap" and self.session_active_neurons:
+                idx = self.session_active_neurons[0][:5]
+            else:
+                idx = list(range(gt.shape[-1]))
+            fig2 = plot_neurons_r2(gt.mean(0), preds.mean(0),
+                                   neuron_idx=idx, epoch=epoch, modality=mod)
+            fig2.savefig(os.path.join(self.tcfg.log_dir,
+                                      f"r2_fig_{mod}_{epoch}.png"))
+            plt.close("all")
 
     def restore(self, name: str = "last") -> int:
         """Resume from a checkpoint: params + optimizer state + step.
@@ -496,28 +519,21 @@ class BaselineTrainer:
     def _data_dict(self, batch) -> Dict[str, jnp.ndarray]:
         """Route spikes/behavior into inputs/targets by modal_filter
         (reference ``trainer/base.py:337-346``)."""
+        from ..parallel import shard_batch
         src = {"ap": "spikes_data", "behavior": "target"}
-        out = {
-            "inputs": jnp.asarray(batch[src[self.modal_filter["input"][0]]]),
-            "targets": jnp.asarray(batch[src[self.modal_filter["output"][0]]]),
-        }
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            sh = jax.sharding.NamedSharding(self.mesh, P("data"))
-            out = {k: jax.device_put(v, sh) for k, v in out.items()}
-        return out
+        return shard_batch({
+            "inputs": batch[src[self.modal_filter["input"][0]]],
+            "targets": batch[src[self.modal_filter["output"][0]]],
+        }, self.mesh)
 
     def _init_state(self) -> TrainState:
+        from ..parallel import replicate
         batch = next(iter(self.train_dataloader))
         variables = jax.jit(self.model.init)(
             self.base_key, self._data_dict(batch))
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            state = jax.device_put(
-                state, jax.sharding.NamedSharding(self.mesh, P()))
-        return state
+        return replicate(state, self.mesh)
 
     def _get_step(self):
         if self._step is None:

@@ -22,6 +22,11 @@ import jax  # noqa: E402
 if os.environ.get("MMFM_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MMFM_PLATFORM"])
 
+# hardware PRNG for the heavy dropout/masking draw volume (set
+# MMFM_PRNG=threefry2x32 to restore the default stream)
+jax.config.update("jax_default_prng_impl",
+                  os.environ.get("MMFM_PRNG", "rbg"))
+
 from multi_modal_foundation_model_tpu.data.session import (  # noqa: E402
     SessionSplits, load_ibl_session, synthetic_splits)
 
@@ -54,11 +59,9 @@ def get_session(args) -> SessionSplits:
 
 def build_mesh(dp: int):
     """Mesh over the 'data' axis, or None for single-device execution."""
-    devices = jax.devices()
-    n = len(devices) if dp in (-1, 0) else min(dp, len(devices))
-    if n <= 1:
-        return None
-    return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
+    from multi_modal_foundation_model_tpu.parallel import \
+        build_mesh as _build_mesh
+    return _build_mesh(dp)
 
 
 def log_dir_for(base_path: str, eid: str, modal_filter, model_name: str) -> str:
