@@ -23,7 +23,7 @@ Batch schema parity: ``loader/base.py:436-450`` (plus ``region_ids``/
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -139,6 +139,7 @@ def prepare_split(
     sort_by_region: bool = False,
     brain_region: str = "all",
     region_vocab: Optional[Dict[str, int]] = None,
+    unit_filter: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Vectorized equivalent of the reference ``_preprocess_ibl_data``.
 
@@ -147,6 +148,12 @@ def prepare_split(
     neurons by depth or region (``loader/base.py:304-450``), over the whole
     split at once. Also emits integer ``region_ids`` (padding = -1) so
     region-conditioned masking runs device-side with static shapes.
+
+    ``unit_filter``: optional boolean/index array selecting neurons before
+    padding — the analog of the reference's NEMO unit-embedding filter
+    (``loader/base.py:331-343``, which keeps only units present in
+    ``data/MtM_unit_embed.pkl``); the embedding lookup itself is host-side
+    preprocessing that produces this mask.
     """
     assert not (sort_by_depth and sort_by_region), \
         "Can only sort either by depth or region."
@@ -154,6 +161,14 @@ def prepare_split(
     spikes = session.spikes
     regions = session.neuron_regions.astype(str)
     depths = session.neuron_depths
+
+    if unit_filter is not None:
+        unit_filter = np.asarray(unit_filter)
+        keep = (np.argwhere(unit_filter).flatten()
+                if unit_filter.dtype == bool else unit_filter)
+        spikes = spikes[:, :, keep]
+        regions = regions[keep]
+        depths = depths[keep]
 
     if brain_region != "all":
         keep = np.argwhere(regions == brain_region).flatten()

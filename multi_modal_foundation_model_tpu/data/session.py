@@ -86,6 +86,9 @@ class SessionSplits:
 
 
 def _smooth(x: np.ndarray, width: int) -> np.ndarray:
+    # np.convolve 'same' returns max(len, width) samples — clamp the kernel
+    # so short sequences keep their length
+    width = min(width, x.shape[-1])
     kernel = np.ones(width) / width
     return np.apply_along_axis(
         lambda r: np.convolve(r, kernel, mode="same"), -1, x)

@@ -13,7 +13,7 @@ The on-hub storage format is the reference's: per trial, a CSR triplet
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

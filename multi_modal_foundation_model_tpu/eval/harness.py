@@ -195,6 +195,8 @@ def co_smoothing_eval(
     subtract: str = "task",
     onset_alignment: Sequence[int] = (40,),
     chunk: int = 8,
+    save_plot: bool = False,
+    max_plots: int = 20,
 ) -> Dict[str, Any]:
     """Run one eval mode over the full test split; returns the metric dict
     and saves ``bps.npy``/``r2.npy`` under ``save_path``."""
@@ -214,14 +216,34 @@ def co_smoothing_eval(
     fwd = EvalForward(model, params, batch, chunk=chunk)
     N_total = spikes.shape[-1]
 
-    def _r2_pair(y, y_pred, t_idx=None) -> np.ndarray:
+    n_plotted = [0]
+
+    def _r2_pair(y, y_pred, t_idx=None, neuron=None) -> np.ndarray:
         if not is_aligned:
             from .metrics import r2_score_nanable
             return np.array([np.nan, r2_score_nanable(y, y_pred)])
         Xc = X if t_idx is None else X[:, t_idx, :]
         r2_psth, r2_trial = psth_and_trial_r2(
             Xc, y, y_pred, var_tasklist, var_name2idx)
-        return np.array([r2_psth, r2_trial])
+        pair = np.array([r2_psth, r2_trial])
+        if save_plot and neuron is not None and n_plotted[0] < max_plots:
+            # per-neuron PSTH figure named like the reference
+            # (``eval_utils.py:1385``: {region}_{id}_{r2:.2f}_{method}.png)
+            import matplotlib.pyplot as plt
+
+            from ..utils.plotting import plot_single_cell_psth
+            os.makedirs(save_path, exist_ok=True)
+            region = (region_list[neuron].replace("/", "-")
+                      if neuron < len(region_list) else "pad")
+            fig = plot_single_cell_psth(
+                Xc, y, y_pred, var_tasklist, var_name2idx,
+                neuron_idx=neuron, neuron_region=region,
+                method=method_name, r2_pair=pair)
+            fig.savefig(os.path.join(
+                save_path, f"{region}_{neuron}_{r2_trial:.2f}_{method_name}.png"))
+            plt.close(fig)
+            n_plotted[0] += 1
+        return pair
 
     bps_result_list = [float("nan")] * N
     r2_result_list = [np.array([np.nan, np.nan])] * N
@@ -235,7 +257,7 @@ def co_smoothing_eval(
             pr_n = np.exp(preds_at[n_i])
             bps = bits_per_spike(pr_n[:, :, None], gt_n[:, :, None])
             bps_result_list[n_i] = np.nan if np.isinf(bps) else bps
-            r2_result_list[n_i] = _r2_pair(gt_n, pr_n)
+            r2_result_list[n_i] = _r2_pair(gt_n, pr_n, neuron=n_i)
 
     elif mode == "forward_pred" or mode == "modal_spike":
         assert held_out_list is not None, \
@@ -252,7 +274,8 @@ def co_smoothing_eval(
                                  gt[:, hd][:, :, [n_i]])
             bps_result_list[n_i] = np.nan if np.isinf(bps) else bps
             r2_result_list[n_i] = _r2_pair(gt[:, hd, n_i],
-                                           preds[:, hd, n_i], t_idx=hd)
+                                           preds[:, hd, n_i], t_idx=hd,
+                                           neuron=n_i)
 
     elif mode == "inter_region":
         assert held_out_list is None, \
@@ -273,7 +296,7 @@ def co_smoothing_eval(
                 bps = bits_per_spike(preds[:, :, [n_i]], spikes[:, :, [n_i]])
                 bps_result_list[n_i] = np.nan if np.isinf(bps) else bps
                 r2_result_list[n_i] = _r2_pair(spikes[:, :, n_i],
-                                               preds[:, :, n_i])
+                                               preds[:, :, n_i], neuron=n_i)
 
     elif mode == "intra_region":
         assert held_out_list is None, \
@@ -297,7 +320,7 @@ def co_smoothing_eval(
             pr_n = np.exp(preds_at[v])
             bps = bits_per_spike(pr_n[:, :, None], gt_n[:, :, None])
             bps_result_list[n_i] = np.nan if np.isinf(bps) else bps
-            r2_result_list[n_i] = _r2_pair(gt_n, pr_n)
+            r2_result_list[n_i] = _r2_pair(gt_n, pr_n, neuron=int(n_i))
 
     elif mode == "modal_behavior":
         N_beh = len(avail_beh)

@@ -20,7 +20,6 @@ from typing import Any, Dict, Optional, Tuple
 from ..data.loader import DataLoader, make_loader
 from ..data.session import SessionData
 from ..models.multimodal import MultiModal, MultiModalConfig
-from ..ops.masking import MaskParams
 from ..train.checkpoint import restore_checkpoint
 
 

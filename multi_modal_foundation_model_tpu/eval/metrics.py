@@ -18,7 +18,7 @@ Parity targets (file:line into /root/reference):
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 from scipy.special import gammaln

@@ -44,8 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import (MaskSpec, create_context_mask,
-                             multi_head_attention)
+from ..ops.attention import MaskSpec, create_context_mask
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
 from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,

@@ -43,7 +43,7 @@ from ..data.loader import DataLoader
 from ..eval.metrics import metrics_list
 from ..models.baseline import BaselineOutput
 from ..models.multimodal import ModalityInput, MultiModalOutput
-from ..ops.masking import RegionSets, mode_to_id
+from ..ops.masking import RegionSets
 from .checkpoint import save_checkpoint
 from .logging import MetricLogger
 from .schedule import OptimizerConfig, make_optimizer

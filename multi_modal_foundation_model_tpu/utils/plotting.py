@@ -54,6 +54,43 @@ def plot_neurons_r2(gt: np.ndarray, pred: np.ndarray, epoch: int = 0,
     return fig
 
 
+def plot_single_cell_psth(X, y, y_pred, var_tasklist, var_name2idx,
+                          var_value2label=None, neuron_idx="",
+                          neuron_region="", method="", r2_pair=None):
+    """Per-task-variable PSTH traces, GT vs prediction — the figure half of
+    the reference ``plot_psth``/``viz_single_cell``
+    (``eval_utils.py:1164-1217,1348-1388``); metric math lives in
+    eval/metrics.py. ``y``/``y_pred`` are (K, T) single-unit traces."""
+    from ..eval.metrics import compute_all_psth
+
+    ncols = len(var_tasklist)
+    fig, axes = plt.subplots(1, ncols, figsize=(3 * ncols, 2.5),
+                             squeeze=False)
+    for ci, var in enumerate(var_tasklist):
+        ax = axes[0][ci]
+        psth_xy = compute_all_psth(X, y, var_name2idx[var])
+        psth_pred_xy = compute_all_psth(X, y_pred, var_name2idx[var])
+        for i, cond in enumerate(psth_xy):
+            label = None
+            if var_value2label and cond in var_value2label.get(var, {}):
+                label = var_value2label[var][cond]
+            color = plt.get_cmap("tab10")(i)
+            ax.plot(psth_xy[cond], color=color, linewidth=3, alpha=0.3,
+                    label=label or f"{var}: {cond[0]:.2f}")
+            ax.plot(psth_pred_xy[cond], color=color, linestyle="--")
+        ax.set_xlabel("Time bin")
+        ax.set_title(var)
+        ax.legend(fontsize=6)
+        ax.spines[["right", "top"]].set_visible(False)
+    title = f"Neuron #{neuron_idx} {neuron_region} {method}"
+    if r2_pair is not None:
+        title += f"  PSTH R2: {r2_pair[0]:.2f}  Trial R2: {r2_pair[1]:.2f}"
+    axes[0][0].set_ylabel("Neural activity")
+    fig.suptitle(title, fontsize=9)
+    fig.tight_layout()
+    return fig
+
+
 def plot_condition_avg_r2(gt: np.ndarray, pred: np.ndarray, epoch: int = 0,
                           neuron_idx: int = 0, condition_idx: int = 0,
                           first_n: int = 8):

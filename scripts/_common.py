@@ -33,7 +33,25 @@ from multi_modal_foundation_model_tpu.data.session import (  # noqa: E402
 DEFAULT_EID = "db4df448-e449-4a6f-a0e7-288711e7a75a"
 
 
+def apply_config_overrides(config, pairs):
+    """Dotted CLI kwargs (``--set a.b.c=1``) merged into a loaded config —
+    the reference ParseKwargs surface (``config_utils.py:84-141``)."""
+    from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
+                                                         update_config)
+    if not pairs:
+        return config
+    kwargs = {}
+    for pair in pairs:
+        key, _, value = pair.partition("=")
+        assert value != "", f"--set expects key=value, got {pair!r}"
+        kwargs[key] = value
+    return update_config(config, config_from_kwargs(kwargs))
+
+
 def add_common_args(ap):
+    ap.add_argument("--set", dest="config_overrides", action="append",
+                    default=[], metavar="KEY=VALUE",
+                    help="dotted config override, e.g. --set optimizer.lr=3e-4")
     ap.add_argument("--eid", type=str, default=DEFAULT_EID)
     ap.add_argument("--base_path", type=str, default="results")
     ap.add_argument("--overwrite", action="store_true")

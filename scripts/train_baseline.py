@@ -9,7 +9,7 @@ import argparse
 import json
 import os
 
-from _common import (add_common_args, build_mesh, get_session,
+from _common import (add_common_args, apply_config_overrides, build_mesh, get_session,
                      guard_overwrite, log_dir_for)
 
 from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
@@ -36,6 +36,7 @@ def main():
     config = config_from_kwargs(
         {"model": f"include:{default_config_path('baseline.yaml')}"})
     config = update_config(default_config_path("trainer.yaml"), config)
+    config = apply_config_overrides(config, args.config_overrides)
     if args.num_epochs is not None:
         config.training["num_epochs"] = args.num_epochs
 

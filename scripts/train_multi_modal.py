@@ -9,7 +9,7 @@ data parallelism over the device mesh.
 import argparse
 import dataclasses
 
-from _common import (add_common_args, build_mesh, get_session,
+from _common import (add_common_args, apply_config_overrides, build_mesh, get_session,
                      guard_overwrite, log_dir_for)
 
 from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
@@ -39,6 +39,7 @@ def main():
         {"model": f"include:{default_config_path('multi_modal/mm.yaml')}"})
     config = update_config(default_config_path("multi_modal/trainer_mm.yaml"),
                            config)
+    config = apply_config_overrides(config, args.config_overrides)
     config.model.masker["mode"] = args.mask_mode
     config.model.masker["ratio"] = args.mask_ratio
     if args.num_epochs is not None:

@@ -12,7 +12,8 @@ import argparse
 import json
 import os
 
-from _common import add_common_args, build_mesh, log_dir_for
+from _common import (add_common_args, apply_config_overrides, build_mesh,
+                     log_dir_for)
 
 from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
                                                      default_config_path,
@@ -46,6 +47,7 @@ def main():
         {"model": f"include:{default_config_path('multi_modal/mm.yaml')}"})
     config = update_config(default_config_path("multi_modal/trainer_mm.yaml"),
                            config)
+    config = apply_config_overrides(config, args.config_overrides)
     config.model.masker["ratio"] = args.mask_ratio
     if args.num_epochs is not None:
         config.training["num_epochs"] = args.num_epochs

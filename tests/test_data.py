@@ -160,3 +160,24 @@ def test_target_selection():
     batch = next(iter(loader))
     assert batch["target"].shape[-1] == 1
     np.testing.assert_array_equal(batch["target"][..., 0].shape, (4, 100))
+
+
+def test_prepare_split_unit_filter():
+    """NEMO-style unit filtering: boolean or index selection before padding
+    (reference loader/base.py:331-343)."""
+    from multi_modal_foundation_model_tpu.data.loader import prepare_split
+    from multi_modal_foundation_model_tpu.data.session import synthetic_session
+
+    sess = synthetic_session(seed=0, n_trials=10, n_neurons=16, n_timesteps=8)
+    keep = np.zeros(16, dtype=bool)
+    keep[[1, 3, 5]] = True
+    arrays = prepare_split(sess, max_time_length=8, max_space_length=8,
+                           unit_filter=keep)
+    assert arrays["space_attn_mask"][0].sum() == 3
+    np.testing.assert_array_equal(
+        arrays["spikes_data"][:, :, :3], sess.spikes[:, :, [1, 3, 5]])
+    # index form
+    arrays2 = prepare_split(sess, max_time_length=8, max_space_length=8,
+                            unit_filter=np.array([1, 3, 5]))
+    np.testing.assert_array_equal(arrays["spikes_data"],
+                                  arrays2["spikes_data"])
