@@ -110,6 +110,12 @@ class MultiModalConfig:
     mask_params: MaskParams = dataclasses.field(default_factory=MaskParams)
     mask_mode: str = "temporal"
     force_active: bool = True
+    # loss combination: None = reference parity (sum of modality loss sums /
+    # total masked count, ``mm.py:237`` — lets the 668-channel Poisson term
+    # swamp the 2-channel MSE term); a {mod: weight} dict switches to a
+    # weighted sum of per-modality *means*, the balancing knob the
+    # convergence study motivates (RESULTS.md)
+    mod_loss_weights: Optional[Dict[str, float]] = None
     # compute
     attn_impl: str = "pallas"
     compute_dtype: Any = jnp.float32
@@ -484,8 +490,14 @@ class MultiModal(nn.Module):
             mod_preds[mod] = preds
             mod_targets[mod] = targets
 
-        total_n = sum(mod_n.values())
-        loss = sum(mod_loss.values()) / jnp.maximum(total_n, 1.0)
+        if mc.mod_loss_weights is not None:
+            loss = sum(
+                mc.mod_loss_weights.get(mod, 1.0)
+                * mod_loss[mod] / jnp.maximum(mod_n[mod], 1.0)
+                for mod in mc.avail_mod)
+        else:
+            total_n = sum(mod_n.values())
+            loss = sum(mod_loss.values()) / jnp.maximum(total_n, 1.0)
 
         return MultiModalOutput(
             loss=loss, mod_loss=mod_loss, mod_n_examples=mod_n,

@@ -235,3 +235,47 @@ def test_region_lookup_roundtrip():
     assert ids[0, 0] == ids[1, 1]  # same acronym, same id
     back = lut.lookup_regions(ids[:, :2])
     np.testing.assert_array_equal(back, regions[:, :2])
+
+
+def test_mod_loss_weights():
+    """Weighted per-modality-mean loss vs reference-parity normalization."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_foundation_model_tpu.models.multimodal import (
+        ModalityInput, MultiModal, MultiModalConfig)
+    from multi_modal_foundation_model_tpu.ops.masking import MaskParams
+
+    B, T, N = 2, 10, 8
+    base = MultiModalConfig(
+        n_channels={"ap": N, "behavior": 2}, max_F=T, hidden_size=16,
+        n_enc_layers=1, n_dec_layers=1, n_heads=2, inter_size=32,
+        dropout=0.0, embed_dropout=0.0, mask_params=MaskParams(ratio=0.3),
+        attn_impl="xla")
+    rng = np.random.default_rng(0)
+    spikes = jnp.asarray(rng.poisson(0.5, (B, T, N)).astype(np.float32))
+    beh = jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32))
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+    mi = {"ap": ModalityInput(spikes, spikes, attn, ts,
+                              jnp.ones((B, T, N), jnp.int32)),
+          "behavior": ModalityInput(beh, beh, attn, ts,
+                                    jnp.ones((B, T, 2), jnp.int32))}
+
+    m0 = MultiModal(base)
+    params = m0.init({"params": jax.random.PRNGKey(0)}, mi,
+                     training=False)["params"]
+    out0 = m0.apply({"params": params}, mi, training=False)
+    # parity: sum(loss)/sum(n)
+    expect0 = ((out0.mod_loss["ap"] + out0.mod_loss["behavior"])
+               / (out0.mod_n_examples["ap"] + out0.mod_n_examples["behavior"]))
+    np.testing.assert_allclose(float(out0.loss), float(expect0), rtol=1e-6)
+
+    m1 = MultiModal(dataclasses.replace(
+        base, mod_loss_weights={"ap": 1.0, "behavior": 5.0}))
+    out1 = m1.apply({"params": params}, mi, training=False)
+    expect1 = (out1.mod_loss["ap"] / out1.mod_n_examples["ap"]
+               + 5.0 * out1.mod_loss["behavior"]
+               / out1.mod_n_examples["behavior"])
+    np.testing.assert_allclose(float(out1.loss), float(expect1), rtol=1e-6)
