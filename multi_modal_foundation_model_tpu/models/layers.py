@@ -208,7 +208,8 @@ class CrossAttention(nn.Module):
 def _norm(cfg, name: str, dtype: Dtype):
     if cfg.use_scalenorm:
         return ScaleNorm(cfg.hidden_size ** 0.5, name=name, dtype=dtype)
-    return nn.LayerNorm(name=name, dtype=dtype)
+    # epsilon matches torch nn.LayerNorm (1e-5); flax defaults to 1e-6
+    return nn.LayerNorm(epsilon=1e-5, name=name, dtype=dtype)
 
 
 class EncoderLayer(nn.Module):

@@ -281,7 +281,7 @@ class MultiModal(nn.Module):
                                       dtype=mc.compute_dtype,
                                       name=f"encoder_{i}")
                         for i in range(mc.n_enc_layers)]
-        self.encoder_norm = nn.LayerNorm(name="encoder_norm")
+        self.encoder_norm = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")
         self.decoder_proj_context = nn.Dense(
             mc.hidden_size, name="decoder_proj_context",
             dtype=mc.compute_dtype)
@@ -289,7 +289,7 @@ class MultiModal(nn.Module):
                                       dtype=mc.compute_dtype,
                                       name=f"decoder_{i}")
                         for i in range(mc.n_dec_layers)]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.out_proj = {
             m: (SessionStitchedHead(n_sessions=mc.n_sessions,
                                     n_channels=mc.n_channels[m],
