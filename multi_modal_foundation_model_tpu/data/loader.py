@@ -255,6 +255,35 @@ def prepare_split(
 
 
 # ---------------------------------------------------------------------------
+# NEMO unit-embedding filter
+# ---------------------------------------------------------------------------
+
+def load_nemo_units(nemo_path: str, cluster_uuids: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """NEMO unit-embedding filter (reference ``loader/base.py:331-343``).
+
+    Reads the unit-embedding pickle (``{'uuids', 'wvf_rep', 'acg_rep'}``),
+    intersects its uuids with the session's ``cluster_uuids``, and returns
+    ``(unit_ids, nemo_rep)``: the int indices of the session's units to
+    keep (feeds ``prepare_split(unit_filter=...)``) and the concatenated
+    waveform+ACG representation rows for those units, aligned to the NEMO
+    table order (as in the reference).
+    """
+    import pickle
+
+    with open(nemo_path, "rb") as f:
+        nemo = pickle.load(f)
+    nemo_uuids = np.asarray(nemo["uuids"]).astype(str)
+    rep = np.concatenate(
+        [np.asarray(nemo["wvf_rep"]), np.asarray(nemo["acg_rep"])], axis=1)
+    cluster_uuids = np.asarray(cluster_uuids).astype(str)
+    include = np.intersect1d(cluster_uuids, nemo_uuids)
+    unit_ids = np.flatnonzero(np.isin(cluster_uuids, include)).astype(np.int64)
+    nemo_rep = rep[np.isin(nemo_uuids, include)].astype(np.float32)
+    return unit_ids, nemo_rep
+
+
+# ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
 
@@ -262,7 +291,7 @@ _PER_TRIAL_KEYS = ("spikes_data", "target", "time_attn_mask", "space_attn_mask",
                    "spikes_timestamps", "spikes_spacestamps",
                    "choice", "block", "reward")
 _SHARED_KEYS = ("neuron_regions", "neuron_depths", "region_ids",
-                "region_vocab", "eid")
+                "region_vocab", "eid", "nemo_rep")
 
 
 @dataclasses.dataclass
@@ -328,7 +357,8 @@ class DataLoader:
                 batch["space_attn_mask"] = batch["space_attn_mask"].copy()
                 batch["space_attn_mask"][n_real:] = 0
             for k in _SHARED_KEYS:
-                batch[k] = self.arrays[k]
+                if k in self.arrays:
+                    batch[k] = self.arrays[k]
             batch["n_real"] = n_real
             yield batch
 
@@ -350,11 +380,21 @@ def make_loader(
     seed: int = 42,
     region_vocab: Optional[Dict[str, int]] = None,
     drop_last: bool = False,
+    sampler: Optional[str] = None,
+    use_nemo: bool = False,
+    nemo_path: str = "data/MtM_unit_embed.pkl",
+    unit_filter: Optional[np.ndarray] = None,
 ) -> DataLoader:
-    """Build a DataLoader over one session split (reference-API shaped).
+    """Build a DataLoader over one session split (reference-API shaped,
+    ``loader/make_loader.py:4-53``).
 
     ``target`` selects behavior covariates by name (defaults to the
-    session's stored covariates, reference order).
+    session's stored covariates, reference order). ``sampler`` overrides
+    the batching strategy (None | "length_grouped" | "stitch");
+    ``stitching=True`` is the reference's flag for the stitch sampler.
+    ``use_nemo`` applies the NEMO unit-embedding filter from ``nemo_path``
+    (requires ``session.cluster_uuids``; reference ``loader/base.py:331``)
+    and narrows the space axis to the kept units, as the reference does.
     """
     if target is not None and tuple(target) != tuple(session.target_names):
         name_to_idx = {n: i for i, n in enumerate(session.target_names)}
@@ -362,6 +402,18 @@ def make_loader(
         session = dataclasses.replace(
             session, behavior=session.behavior[:, :, cols],
             target_names=tuple(target))
+
+    nemo_rep = np.array([np.nan], dtype=np.float32)
+    if use_nemo:
+        assert session.cluster_uuids is not None, \
+            "use_nemo requires session.cluster_uuids"
+        assert unit_filter is None, "use_nemo computes its own unit_filter"
+        unit_filter, nemo_rep = load_nemo_units(nemo_path,
+                                                session.cluster_uuids)
+        # reference narrows max_space_length to the kept-unit count
+        # (loader/base.py:340)
+        max_space_length = len(unit_filter)
+
     arrays = prepare_split(
         session,
         max_time_length=max_time_length,
@@ -372,12 +424,15 @@ def make_loader(
         sort_by_region=sort_by_region,
         brain_region=brain_region,
         region_vocab=region_vocab,
+        unit_filter=unit_filter,
     )
+    arrays["nemo_rep"] = nemo_rep
     return DataLoader(
         arrays=arrays,
         batch_size=batch_size,
         shuffle=shuffle,
         seed=seed,
-        sampler="stitch" if stitching else None,
+        sampler=sampler if sampler is not None else (
+            "stitch" if stitching else None),
         drop_last=drop_last,
     )

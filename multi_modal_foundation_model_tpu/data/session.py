@@ -45,6 +45,9 @@ class SessionData:
     neuron_depths: np.ndarray
     binsize: float = 0.02
     target_names: Tuple[str, ...] = DEFAULT_TARGETS
+    # per-neuron spike-sorting uuids (N,) str — consumed by the NEMO
+    # unit-embedding filter (reference ``loader/base.py:331-343``)
+    cluster_uuids: Optional[np.ndarray] = None
 
     @property
     def n_trials(self) -> int:

@@ -181,3 +181,63 @@ def test_prepare_split_unit_filter():
                             unit_filter=np.array([1, 3, 5]))
     np.testing.assert_array_equal(arrays["spikes_data"],
                                   arrays2["spikes_data"])
+
+
+def test_load_nemo_units_and_make_loader(tmp_path):
+    """NEMO pkl unit-filter path end-to-end (reference loader/base.py:331-343
+    + make_loader use_nemo flag): only units whose uuid appears in the
+    embedding pickle survive, space axis narrows to the kept count, and the
+    batch carries the aligned nemo_rep rows."""
+    import dataclasses
+    import pickle
+
+    from multi_modal_foundation_model_tpu.data.loader import (load_nemo_units,
+                                                              make_loader)
+    from multi_modal_foundation_model_tpu.data.session import synthetic_session
+
+    N = 12
+    sess = synthetic_session(seed=3, n_trials=10, n_neurons=N, n_timesteps=8)
+    uuids = np.array([f"uuid-{i:03d}" for i in range(N)])
+    sess = dataclasses.replace(sess, cluster_uuids=uuids)
+
+    # NEMO table covers units 2,5,7,9 (+ one uuid not in the session)
+    nemo_uuids = np.array(["uuid-002", "uuid-005", "uuid-007", "uuid-009",
+                           "uuid-999"])
+    rng = np.random.default_rng(0)
+    pkl = {"uuids": nemo_uuids,
+           "wvf_rep": rng.normal(size=(5, 4)).astype(np.float32),
+           "acg_rep": rng.normal(size=(5, 3)).astype(np.float32)}
+    path = tmp_path / "MtM_unit_embed.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(pkl, f)
+
+    unit_ids, nemo_rep = load_nemo_units(str(path), uuids)
+    np.testing.assert_array_equal(unit_ids, [2, 5, 7, 9])
+    assert nemo_rep.shape == (4, 7)
+    np.testing.assert_allclose(
+        nemo_rep,
+        np.concatenate([pkl["wvf_rep"], pkl["acg_rep"]], axis=1)[:4])
+
+    loader = make_loader(sess, batch_size=4, max_time_length=8,
+                         max_space_length=N, use_nemo=True,
+                         nemo_path=str(path), shuffle=False)
+    batch = next(iter(loader))
+    assert batch["spikes_data"].shape[-1] == 4  # narrowed to kept units
+    np.testing.assert_array_equal(
+        batch["spikes_data"][0], sess.spikes[0][:, [2, 5, 7, 9]])
+    assert batch["nemo_rep"].shape == (4, 7)
+
+
+def test_make_loader_length_grouped_sampler():
+    """sampler="length_grouped" reaches the HF-style megabatch grouping
+    from make_loader (reference imports LengthGroupedSampler in
+    make_loader.py:2; exposed here explicitly)."""
+    from multi_modal_foundation_model_tpu.data.loader import make_loader
+    from multi_modal_foundation_model_tpu.data.session import synthetic_session
+
+    sess = synthetic_session(seed=1, n_trials=24, n_neurons=8, n_timesteps=8)
+    loader = make_loader(sess, batch_size=4, max_time_length=8,
+                         max_space_length=8, sampler="length_grouped")
+    assert loader.sampler == "length_grouped"
+    seen = np.concatenate([b["spikes_data"] for b in loader])
+    assert seen.shape[0] == 24  # every trial appears exactly once
