@@ -404,3 +404,229 @@ def select_brain_regions(beryl_reg, region) -> np.ndarray:
     """Cluster ids in the selected region(s) (``ibl_data_utils.py:226-231``)."""
     reg_mask = np.isin(beryl_reg, region)
     return np.argwhere(reg_mask).flatten()
+
+
+# ---------------------------------------------------------------------------
+# orchestration tier (parity: ibl_data_utils.py:123-214,387-511,650-792)
+#
+# Every function is dependency-injected: the network objects (ONE API,
+# SessionLoader) are plain duck-typed arguments, so the full raw-session ->
+# hub-dataset pipeline runs offline under tests with fakes, and maps 1:1
+# onto the IBL stack when ``one``/``brainbox`` are installed.
+# ---------------------------------------------------------------------------
+
+def _session_loader(one, eid, sess_loader=None):
+    if sess_loader is not None:
+        return sess_loader
+    from brainbox.io.one import SessionLoader  # network-gated import
+    return SessionLoader(one, eid)
+
+
+def load_trials_and_mask(
+    one=None,
+    eid: Optional[str] = None,
+    min_rt: Optional[float] = 0.08,
+    max_rt: Optional[float] = 2.0,
+    nan_exclude="default",
+    min_trial_len: Optional[float] = None,
+    max_trial_len: Optional[float] = None,
+    exclude_unbiased: bool = False,
+    exclude_nochoice: bool = True,
+    sess_loader=None,
+    trials_df=None,
+):
+    """Trials table + inclusion mask (``ibl_data_utils.py:123-214``).
+
+    Offline path: pass ``trials_df`` (or a ``sess_loader`` whose ``trials``
+    is populated); the exclusion mask is the vectorized ``trials_mask``
+    (identical semantics to the reference's pandas query string).
+    """
+    if nan_exclude == "default":
+        nan_exclude = DEFAULT_NAN_EXCLUDE
+    if trials_df is None:
+        sess_loader = _session_loader(one, eid, sess_loader)
+        if getattr(sess_loader, "trials", None) is None or \
+                len(sess_loader.trials) == 0:
+            sess_loader.load_trials()
+        trials_df = sess_loader.trials
+    mask = trials_mask(
+        trials_df, min_rt=min_rt, max_rt=max_rt,
+        min_trial_len=min_trial_len, max_trial_len=max_trial_len,
+        exclude_unbiased=exclude_unbiased, exclude_nochoice=exclude_nochoice,
+        nan_exclude=nan_exclude)
+    return trials_df, mask
+
+
+# behavior-signal dispatch (``ibl_data_utils.py:387-511``): wheel/motion
+# energy ride the SessionLoader; pose-derived signals ride one.load_object
+_WHEEL_COLUMN = {"wheel-position": "position", "wheel-velocity": "velocity",
+                 "wheel-speed": "velocity"}
+_DLC_FEATURE = {"paw-speed": None, "nose-speed": "nose_tip"}
+
+BEHAVIOR_TARGETS = (
+    "wheel-position", "wheel-velocity", "wheel-speed",
+    "left-whisker-motion-energy", "right-whisker-motion-energy",
+    "left-pupil-diameter", "right-pupil-diameter",
+    "left-camera-left-paw-speed", "left-camera-right-paw-speed",
+    "right-camera-left-paw-speed", "right-camera-right-paw-speed",
+    "left-nose-speed", "right-nose-speed",
+)
+
+
+def load_target_behavior(one, eid, target: str, sess_loader=None) -> Dict:
+    """One behavior signal as ``{'times', 'values'}`` (+``'skip': True`` on
+    any load failure — the reference's error contract,
+    ``ibl_data_utils.py:506-509``)."""
+    try:
+        if target in _WHEEL_COLUMN:
+            sl = _session_loader(one, eid, sess_loader)
+            if getattr(sl, "wheel", None) is None or len(sl.wheel) == 0:
+                sl.load_wheel()
+            vals = np.asarray(sl.wheel[_WHEEL_COLUMN[target]])
+            if target == "wheel-speed":
+                vals = np.abs(vals)
+            return {"times": np.asarray(sl.wheel["times"]), "values": vals}
+
+        if target.endswith("whisker-motion-energy"):
+            view = target.split("-")[0]            # 'left' | 'right'
+            sl = _session_loader(one, eid, sess_loader)
+            if not getattr(sl, "motion_energy", None):
+                sl.load_motion_energy(views=[view])
+            cam = sl.motion_energy[f"{view}Camera"]
+            return {"times": np.asarray(cam["times"]),
+                    "values": np.asarray(cam["whiskerMotionEnergy"])}
+
+        if target.endswith("pupil-diameter"):
+            side = target.split("-")[0]
+            obj = one.load_object(eid, f"{side}Camera",
+                                  attribute=["dlc", "features", "times"],
+                                  collection="alf")
+            return {"times": obj.times,
+                    "values": obj.features.pupilDiameter_smooth}
+
+        if target.endswith("paw-speed") or target.endswith("nose-speed"):
+            from brainbox.behavior import dlc  # network-gated import
+
+            parts = target.split("-")
+            camera = parts[0]                       # recording camera view
+            if target.endswith("nose-speed"):
+                feature = "nose_tip"
+            else:
+                feature = "paw_l" if parts[2] == "left" else "paw_r"
+            obj = one.load_object(eid, f"{camera}Camera",
+                                  attribute=["dlc", "features", "times"],
+                                  collection="alf")
+            return {"times": obj.times,
+                    "values": dlc.get_speed(obj.dlc, obj.times,
+                                            camera=camera, feature=feature)}
+
+        raise NotImplementedError(target)
+    except BaseException as e:  # noqa: BLE001 — reference contract
+        if isinstance(e, NotImplementedError):
+            raise
+        return {"times": None, "values": None, "skip": True}
+
+
+DEFAULT_ANYTIME_BEHAVIORS = ("left-whisker-motion-energy",
+                             "right-whisker-motion-energy")
+
+
+def load_anytime_behaviors(one, eid,
+                           behaviors: Sequence[str] = DEFAULT_ANYTIME_BEHAVIORS,
+                           max_workers: int = 4, sess_loader=None) -> Dict:
+    """Concurrent load of the session-wide behavior signals
+    (``ibl_data_utils.py:650-676``). Threads instead of the reference's
+    process pool: the work is network/IO-bound, and thread results need no
+    pickling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(beh):
+        return beh, load_target_behavior(one, eid, beh,
+                                         sess_loader=sess_loader)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(load, behaviors))
+
+
+def collect_behavior_signals(one, eid,
+                             behaviors: Sequence[str] = ("whisker-motion-energy",),
+                             sess_loader=None
+                             ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """{name: (times, values)} signals feeding :func:`bin_behaviors`, with
+    the reference's left->right whisker-camera fallback
+    (``ibl_data_utils.py:717-723``)."""
+    out = {}
+    for beh in behaviors:
+        if beh == "whisker-motion-energy":
+            d = load_target_behavior(one, eid, "left-whisker-motion-energy",
+                                     sess_loader=sess_loader)
+            if d.get("skip"):
+                d = load_target_behavior(one, eid,
+                                         "right-whisker-motion-energy",
+                                         sess_loader=sess_loader)
+        else:
+            d = load_target_behavior(one, eid, beh, sess_loader=sess_loader)
+        if d.get("skip"):
+            raise RuntimeError(f"failed to load behavior signal {beh!r}")
+        out[beh] = (d["times"], d["values"])
+    return out
+
+
+def prepare_data(one, eid, bwm_df, params: Optional[Dict] = None,
+                 load_spiking_data_fn=None, load_trials_fn=None,
+                 load_behaviors_fn=None, sess_loader=None):
+    """One-session ETL orchestrator (``ibl_data_utils.py:740-792``).
+
+    ``bwm_df`` is the brain-wide-map probe table (columns: eid, subject,
+    lab, pid, probe_name). The three loader hooks default to the network
+    implementations and are injectable for offline use. Returns
+    ``(neural_dict, behave_dict, meta_data, trials_data)`` in the
+    reference's schema, feeding ``bin_spiking_data``/``bin_behaviors``/
+    ``align_spike_behavior`` -> ``create_dataset``.
+    """
+    load_spiking_data_fn = load_spiking_data_fn or load_spiking_data
+    load_trials_fn = load_trials_fn or load_trials_and_mask
+    load_behaviors_fn = load_behaviors_fn or load_anytime_behaviors
+
+    tmp_df = bwm_df.set_index(["eid", "subject"]).xs(eid, level="eid")
+    subject = tmp_df.index[0]
+    lab = tmp_df["lab"].iloc[0]
+    pids = tmp_df["pid"].to_list()
+    probe_names = tmp_df["probe_name"].to_list()
+
+    spikes_list, clusters_list, sampling_freq = [], [], None
+    for pid, probe_name in zip(pids, probe_names):
+        spikes, clusters, sampling_freq = load_spiking_data_fn(
+            one, pid, eid=eid, pname=probe_name)
+        clusters = clusters.copy()
+        clusters["pid"] = pid
+        spikes_list.append(spikes)
+        clusters_list.append(clusters)
+    spikes, clusters = merge_probes(spikes_list, clusters_list)
+
+    trials_df, trials_mask_ = load_trials_fn(
+        one=one, eid=eid, max_trial_len=10.0, sess_loader=sess_loader)
+
+    behave_dict = load_behaviors_fn(one, eid, sess_loader=sess_loader)
+
+    neural_dict = {
+        "spike_times": spikes["times"],
+        "spike_clusters": spikes["clusters"],
+        "cluster_regions": clusters["acronym"].to_numpy(),
+    }
+    meta_data = {
+        "subject": subject,
+        "eid": eid,
+        "probe_name": probe_names[-1],
+        "lab": lab,
+        "sampling_freq": sampling_freq,
+        "cluster_channels": list(clusters["channels"]),
+        "cluster_regions": list(clusters["acronym"]),
+        "good_clusters": list((clusters["label"] >= 1).astype(int)),
+        "cluster_depths": list(clusters["depths"]),
+        "uuids": list(clusters["uuids"]),
+        "cluster_qc": {k: np.asarray(v)
+                       for k, v in clusters.to_dict("list").items()},
+    }
+    trials_data = {"trials_df": trials_df, "trials_mask": trials_mask_}
+    return neural_dict, behave_dict, meta_data, trials_data
