@@ -46,6 +46,17 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(row)
 
+    def log_figures(self, figs: Dict[str, Any],
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+        """wandb.Image logging of matplotlib figures (reference
+        ``trainer/base.py:130-167``); no-op without wandb — the trainer
+        saves the same figures to disk either way."""
+        if self._wandb is None:
+            return
+        row: Dict[str, Any] = dict(extra or {})
+        row.update({k: self._wandb.Image(fig) for k, fig in figs.items()})
+        self._wandb.log(row)
+
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()

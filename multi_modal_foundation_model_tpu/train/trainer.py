@@ -397,6 +397,10 @@ class MultiModalTrainer:
                     best_eval_loss = eval_res["eval_loss"]
                     best_epoch = epoch
                     self.save_model("best", epoch=epoch, metric=best_metric)
+                    if tcfg.save_plot_every_n_epochs:
+                        # reference plots + wandb-logs figures on every new
+                        # best (trainer/base.py:121-142)
+                        self._plot_epoch(eval_res, epoch, prefix="best_")
             self.logger.log(row)
             history.append(row)
 
@@ -415,9 +419,10 @@ class MultiModalTrainer:
                          f"best_eval_trial_avg_{self.metric}": best_metric})
         return summary
 
-    def _plot_epoch(self, eval_res, epoch: int) -> None:
-        """GT-vs-pred diagnostic figures every n epochs (reference
-        ``plot_epoch``, ``trainer/base.py:146-167,272-300``)."""
+    def _plot_epoch(self, eval_res, epoch: int, prefix: str = "") -> None:
+        """GT-vs-pred diagnostic figures every n epochs + on new best
+        (reference ``plot_epoch``, ``trainer/base.py:121-167,272-300``);
+        saved to disk AND wandb-logged as images when wandb is active."""
         import matplotlib.pyplot as plt
 
         from ..utils.plotting import plot_gt_pred, plot_neurons_r2
@@ -429,7 +434,7 @@ class MultiModalTrainer:
             fig = plot_gt_pred(gt.mean(0).T, preds.mean(0).T,
                                epoch=epoch, modality=mod)
             fig.savefig(os.path.join(self.tcfg.log_dir,
-                                     f"gt_pred_fig_{mod}_{epoch}.png"))
+                                     f"{prefix}gt_pred_fig_{mod}_{epoch}.png"))
             if mod == "ap" and self.session_active_neurons:
                 idx = self.session_active_neurons[0][:5]
             else:
@@ -437,7 +442,11 @@ class MultiModalTrainer:
             fig2 = plot_neurons_r2(gt.mean(0), preds.mean(0),
                                    neuron_idx=idx, epoch=epoch, modality=mod)
             fig2.savefig(os.path.join(self.tcfg.log_dir,
-                                      f"r2_fig_{mod}_{epoch}.png"))
+                                      f"{prefix}r2_fig_{mod}_{epoch}.png"))
+            self.logger.log_figures(
+                {f"{prefix}gt_pred_fig_{mod}": fig,
+                 f"{prefix}r2_fig_{mod}": fig2},
+                extra={"best_epoch": epoch} if prefix else None)
             plt.close("all")
 
     def restore(self, name: str = "last") -> int:
@@ -611,11 +620,36 @@ class BaselineTrainer:
                     best_metric = eval_res[f"eval_trial_avg_{self.metric}"]
                     best_epoch = epoch
                     self.save_model("best", epoch=epoch, metric=best_metric)
+                    if self.tcfg.save_plot_every_n_epochs:
+                        self._plot_epoch(eval_res, epoch, prefix="best_")
             self.logger.log(row)
             history.append(row)
+            if (self.tcfg.save_plot_every_n_epochs and eval_res
+                    and epoch % self.tcfg.save_plot_every_n_epochs == 0):
+                self._plot_epoch(eval_res, epoch)
         self.save_model("last", epoch=self.tcfg.num_epochs - 1)
         return {f"best_eval_trial_avg_{self.metric}": best_metric,
                 "best_epoch": best_epoch, "history": history}
+
+    def _plot_epoch(self, eval_res, epoch: int, prefix: str = "") -> None:
+        """GT-vs-pred figures, disk + wandb (the reference BaselineTrainer
+        plots identically to the multimodal one, ``trainer/base.py:
+        354-418``)."""
+        import matplotlib.pyplot as plt
+
+        from ..utils.plotting import plot_gt_pred
+        mod = self.modal_filter["output"][0]
+        gt, preds = eval_res["eval_gt"], eval_res["eval_preds"]
+        if gt is None or len(gt) == 0:
+            return
+        fig = plot_gt_pred(gt.mean(0).T, preds.mean(0).T,
+                           epoch=epoch, modality=mod)
+        fig.savefig(os.path.join(self.tcfg.log_dir,
+                                 f"{prefix}gt_pred_fig_{mod}_{epoch}.png"))
+        self.logger.log_figures(
+            {f"{prefix}gt_pred_fig_{mod}": fig},
+            extra={"best_epoch": epoch} if prefix else None)
+        plt.close("all")
 
     def save_model(self, name="last", epoch=0, metric=None) -> str:
         os.makedirs(self.tcfg.log_dir, exist_ok=True)

@@ -110,7 +110,8 @@ def test_multimodal_trainer_token_masking(tmp_path):
     tr = MultiModalTrainer(
         model, train, val,
         OptimizerConfig(lr=1e-3, wd=0.01),
-        TrainerConfig(num_epochs=3, log_dir=str(tmp_path), seed=0))
+        TrainerConfig(num_epochs=3, log_dir=str(tmp_path), seed=0,
+                      save_plot_every_n_epochs=2))
     res = tr.train()
     h = res["history"]
     assert h[-1]["train_loss"] < h[0]["train_loss"]
@@ -119,6 +120,11 @@ def test_multimodal_trainer_token_masking(tmp_path):
     tree = restore_checkpoint(str(tmp_path), "best")
     flat_saved = jax.tree_util.tree_leaves(tree["params"])
     assert all(np.isfinite(x).all() for x in flat_saved)
+    # epoch figures: periodic + best_-prefixed (reference
+    # trainer/base.py:121-167 parity; wandb image logging is a no-op here)
+    pngs = [p.name for p in tmp_path.glob("*.png")]
+    assert any(p.startswith("gt_pred_fig_") for p in pngs)
+    assert any(p.startswith("best_gt_pred_fig_") for p in pngs)
 
 
 def test_multimodal_trainer_mixed_and_mtm(tmp_path):
