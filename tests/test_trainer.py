@@ -65,6 +65,44 @@ def test_one_cycle_matches_torch():
     np.testing.assert_allclose(ours, np.array(torch_lrs), rtol=1e-4)
 
 
+def test_one_cycle_momentum_matches_torch():
+    """torch OneCycleLR cycles beta1 (0.95 -> 0.85 -> 0.95) by default and
+    the reference constructs it with defaults — optimizer parity includes
+    the momentum trace."""
+    torch = pytest.importorskip("torch")
+
+    import optax
+
+    from multi_modal_foundation_model_tpu.train.schedule import (
+        make_optimizer, one_cycle_momentum_schedule)
+
+    total, lr = 40, 1e-3
+    cfg = OptimizerConfig(lr=lr, warmup_pct=0.15, div_factor=10.0)
+    msched = one_cycle_momentum_schedule(cfg, total)
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, total_steps=total, max_lr=lr, pct_start=0.15, div_factor=10.0)
+    torch_b1 = []
+    for _ in range(total):
+        torch_b1.append(opt.param_groups[0]["betas"][0])
+        tsched.step()
+    ours = np.array([float(msched(i)) for i in range(total)])
+    np.testing.assert_allclose(ours, np.array(torch_b1), rtol=1e-5)
+
+    # the injected-hyperparams optimizer runs and reflects the schedule
+    tx, _ = make_optimizer(cfg, total)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(params["w"])).all()
+    np.testing.assert_allclose(float(state.hyperparams["b1"]),
+                               float(msched(2)), rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # baseline trainers: loss decreases, metric improves above chance
 # ---------------------------------------------------------------------------
