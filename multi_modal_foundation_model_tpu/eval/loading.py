@@ -71,3 +71,75 @@ def load_model_data_local(
         seed=seed,
     )
     return model, params, loader
+
+
+def load_reference_checkpoint(
+    path: str,
+    n_channels: Dict[str, int],
+    max_F: int = 100,
+    reference_src: Optional[str] = None,
+    **config_overrides,
+) -> Tuple[MultiModal, Dict[str, Any]]:
+    """Load a REFERENCE-trained checkpoint into this framework.
+
+    Accepts either form the reference ecosystem produces:
+
+    - a ``state_dict`` saved with ``torch.save(model.state_dict(), ...)``
+      (or a dict containing one under ``'model'``/``'state_dict'``), or
+    - the reference's whole-module pickle
+      (``torch.save({'model': <MultiModal instance>, ...})``,
+      ``src/trainer/base.py:302-308``) — unpickling that requires the
+      reference package importable; pass ``reference_src`` (e.g.
+      ``/root/reference/src``) and it is added to ``sys.path`` for the
+      load.
+
+    Returns ``(model, params)`` ready for the eval harness: weights mapped
+    through ``utils.torch_convert`` onto the flax tree, masker disabled
+    for eval, ``attn_impl``/dtype overridable via ``config_overrides``.
+    """
+    import numpy as np
+
+    from ..utils.torch_convert import reference_state_dict_to_params
+
+    import torch  # local import: torch is only needed on this path
+
+    if reference_src:
+        import sys
+        if reference_src not in sys.path:
+            sys.path.insert(0, reference_src)
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+    elif isinstance(obj, dict) and hasattr(obj.get("model"), "state_dict"):
+        sd = obj["model"].state_dict()
+    elif isinstance(obj, dict) and isinstance(obj.get("state_dict"), dict):
+        sd = obj["state_dict"]
+    elif isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        sd = obj["model"]
+    elif isinstance(obj, dict):
+        sd = obj
+    else:
+        raise ValueError(f"unrecognized checkpoint object: {type(obj)}")
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v) for k, v in sd.items()}
+
+    n_enc = 1 + max((int(k.split(".")[1]) for k in sd
+                     if k.startswith("encoder.")), default=4)
+    n_dec = 1 + max((int(k.split(".")[1]) for k in sd
+                     if k.startswith("decoder.")), default=4)
+    hidden = sd["encoder_norm.weight"].shape[0]
+
+    kw: Dict[str, Any] = dict(
+        n_channels=dict(n_channels), max_F=max_F, hidden_size=hidden,
+        n_enc_layers=n_enc, n_dec_layers=n_dec, force_active=False)
+    kw.update(config_overrides)
+    config = MultiModalConfig(**kw)
+    config = dataclasses.replace(
+        config,
+        mask_params=dataclasses.replace(config.mask_params, ratio=0.0))
+    params = reference_state_dict_to_params(
+        sd, avail_mod=config.avail_mod, n_enc_layers=n_enc,
+        n_dec_layers=n_dec,
+        share_modality_embeddings=config.share_modality_embeddings)
+    return MultiModal(config), params

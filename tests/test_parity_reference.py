@@ -386,3 +386,43 @@ def test_reference_mtm_input_masking_raises(ref):
     with pytest.raises(NameError):
         with torch.no_grad():
             ref_model(md)
+
+
+def test_load_reference_checkpoint_both_formats(ref, tmp_path):
+    """Reference-trained checkpoints load directly into this framework:
+    both the portable state_dict form and the reference's whole-module
+    pickle (``trainer/base.py:302-308``), with config inferred from the
+    state_dict; eval forward matches torch."""
+    import jax.numpy as jnp
+
+    from multi_modal_foundation_model_tpu.eval.loading import \
+        load_reference_checkpoint
+
+    N, n_beh, B = 12, 2, 3
+    T = SMALL["max_F"]
+    ref_model = build_ref_model(ref, N, n_beh, **SMALL)
+    p1 = tmp_path / "state_dict.pt"
+    torch.save(ref_model.state_dict(), p1)
+    p2 = tmp_path / "model_best.pt"
+    torch.save({"model": ref_model, "epoch": 7}, p2)
+
+    rng = np.random.default_rng(9)
+    spikes, behavior, attn, ts = make_batch(rng, B, T, N, n_beh)
+    masks = objective_masks("encoding", B, T, N, n_beh)
+    with torch.no_grad():
+        ref_out = ref_model(ref_mod_dict(spikes, behavior, attn, ts, masks))
+
+    for path in (p1, p2):
+        model, params = load_reference_checkpoint(
+            str(path), n_channels={"ap": N, "behavior": n_beh}, max_F=T,
+            reference_src=REF_SRC, attn_impl="xla",
+            compute_dtype=jnp.float32, inter_size=SMALL["inter_size"],
+            n_heads=SMALL["n_heads"])
+        assert model.config.n_enc_layers == SMALL["n_layers"]
+        assert model.config.hidden_size == SMALL["hidden_size"]
+        assert model.config.force_active is False
+        out = model.apply(
+            {"params": params},
+            flax_inputs(spikes, behavior, attn, ts, masks), training=False)
+        np.testing.assert_allclose(float(out.loss), float(ref_out.loss),
+                                   rtol=2e-4, err_msg=str(path))
