@@ -124,15 +124,26 @@ def load_reference_checkpoint(
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                         else v) for k, v in sd.items()}
 
+    # architecture dims recoverable from the state_dict itself (n_heads is
+    # not — it doesn't change param shapes; override it for non-default
+    # architectures)
     n_enc = 1 + max((int(k.split(".")[1]) for k in sd
                      if k.startswith("encoder.")), default=4)
     n_dec = 1 + max((int(k.split(".")[1]) for k in sd
                      if k.startswith("decoder.")), default=4)
     hidden = sd["encoder_norm.weight"].shape[0]
+    inter = sd["encoder.0.mlp.up_proj.weight"].shape[0]
+    ap_tok = sd["encoder_embeddings.ap.embedder.token_embed.weight"]
+    mult = max(1, round(ap_tok.shape[0] / max(ap_tok.shape[1], 1)))
+    if ap_tok.shape[1] != n_channels.get("ap"):
+        raise ValueError(
+            f"checkpoint expects {ap_tok.shape[1]} 'ap' channels, "
+            f"caller provided {n_channels.get('ap')}")
 
     kw: Dict[str, Any] = dict(
         n_channels=dict(n_channels), max_F=max_F, hidden_size=hidden,
-        n_enc_layers=n_enc, n_dec_layers=n_dec, force_active=False)
+        n_enc_layers=n_enc, n_dec_layers=n_dec, inter_size=inter,
+        mult=mult, force_active=False)
     kw.update(config_overrides)
     config = MultiModalConfig(**kw)
     config = dataclasses.replace(

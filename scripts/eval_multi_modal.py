@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--model_dir", type=str, default=None,
                     help="checkpoint dir; default derives from the train layout")
     ap.add_argument("--checkpoint", type=str, default="best")
+    ap.add_argument("--reference_ckpt", type=str, default=None,
+                    help="evaluate a REFERENCE-trained torch checkpoint "
+                         "(model_best.pt module pickle or a state_dict .pt) "
+                         "instead of an orbax dir")
+    ap.add_argument("--reference_src", type=str, default=None,
+                    help="reference source root (needed to unpickle "
+                         "whole-module checkpoints), e.g. /root/reference/src")
     ap.add_argument("--co_smooth", action="store_true")
     ap.add_argument("--forward_pred", action="store_true")
     ap.add_argument("--inter_region", action="store_true")
@@ -46,11 +53,28 @@ def main():
         f"_mixed-{args.mixed_training}")
 
     splits = get_session(args)
-    model, params, test_loader = load_model_data_local(
-        model_dir=model_dir, test_session=splits.test,
-        checkpoint_name=args.checkpoint,
-        max_time_length=args.n_time_steps,
-        max_space_length=splits.n_neurons, seed=args.seed)
+    if args.reference_ckpt:
+        from multi_modal_foundation_model_tpu.data.loader import make_loader
+        from multi_modal_foundation_model_tpu.eval.loading import \
+            load_reference_checkpoint
+
+        model, params = load_reference_checkpoint(
+            args.reference_ckpt,
+            n_channels={"ap": splits.n_neurons,
+                        "behavior": len(DEFAULT_TARGETS)},
+            max_F=args.n_time_steps, reference_src=args.reference_src)
+        test_loader = make_loader(
+            splits.test, batch_size=splits.test.n_trials,
+            max_time_length=args.n_time_steps,
+            max_space_length=splits.n_neurons, shuffle=False)
+        model_dir = args.model_dir or os.path.join(
+            args.base_path, "reference_ckpt_eval")
+    else:
+        model, params, test_loader = load_model_data_local(
+            model_dir=model_dir, test_session=splits.test,
+            checkpoint_name=args.checkpoint,
+            max_time_length=args.n_time_steps,
+            max_space_length=splits.n_neurons, seed=args.seed)
 
     T = args.n_time_steps
     modes = []
