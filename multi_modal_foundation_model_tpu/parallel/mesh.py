@@ -30,14 +30,29 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         pass  # already initialized
 
 
-def build_mesh(dp: int = -1, devices=None) -> Optional[jax.sharding.Mesh]:
-    """Mesh over the 'data' axis; None when a single device would be used
-    (plain jit is then identical and cheaper)."""
+def build_mesh(dp: int = -1, tp: int = 1,
+               devices=None) -> Optional[jax.sharding.Mesh]:
+    """Mesh over ('data',) or, when ``tp > 1``, ('data', 'model').
+
+    ``dp=-1`` uses every device not claimed by the model axis. Returns None
+    when a single device would be used (plain jit is then identical and
+    cheaper). Parameter placement on the 'model' axis is governed by
+    ``partition.partition_rules`` (Megatron-pattern TP); the 'data' axis
+    shards the batch's leading (trial) axis.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices) if dp in (-1, 0) else min(dp, len(devices))
+    tp = max(1, tp)
+    if tp > len(devices):
+        raise ValueError(f"tp={tp} exceeds {len(devices)} devices")
+    avail = len(devices) // tp
+    n_dp = avail if dp in (-1, 0) else min(dp, avail)
+    n = n_dp * tp
     if n <= 1:
         return None
-    return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
+    dev = np.array(devices[:n])
+    if tp == 1:
+        return jax.sharding.Mesh(dev, ("data",))
+    return jax.sharding.Mesh(dev.reshape(n_dp, tp), ("data", "model"))
 
 
 def batch_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:

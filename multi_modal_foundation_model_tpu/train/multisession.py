@@ -132,11 +132,11 @@ class MultiSessionTrainer(MultiModalTrainer):
             {"params": k_param, "mask": k_mask, "dropout": k_drop},
             mod_inputs, session_id=jnp.asarray(0, jnp.int32),
             space_attn_mask=batch["space_attn_mask"])
-        from ..parallel import replicate
+        from ..parallel import shard_tree
         from .trainer import TrainState
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        return replicate(state, self.mesh)
+        return shard_tree(state, self.mesh)
 
     # ------------------------------------------------------------------
 

@@ -125,6 +125,13 @@ class MultiModalTrainer:
             "output": list(model.config.avail_mod)}
         self.num_neurons = list(num_neurons) if num_neurons else None
         self.mesh = mesh
+        from ..parallel import model_axis_size
+        if (model_axis_size(mesh) > 1
+                and model.config.attn_impl == "pallas"):
+            raise ValueError(
+                "tensor parallelism ('model' mesh axis > 1) requires "
+                "attn_impl='xla': the fused Pallas attention is a custom "
+                "call XLA's SPMD partitioner cannot split")
         self.logger = logger or MetricLogger(trainer_config.log_dir)
         self.metric = trainer_config.metric
 
@@ -184,10 +191,10 @@ class MultiModalTrainer:
         variables = init_fn(
             {"params": k_param, "mask": k_mask, "dropout": k_drop},
             mod_inputs)
-        from ..parallel import replicate
+        from ..parallel import shard_tree
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        return replicate(state, self.mesh)
+        return shard_tree(state, self.mesh)
 
     # ------------------------------------------------------------------
     # mod_dict construction (parity: trainer/base.py:51-103)
@@ -466,9 +473,8 @@ class MultiModalTrainer:
             params=tree["params"], opt_state=tree["opt_state"],
             step=jnp.asarray(tree["step"]))
         if self.mesh is not None:
-            P = jax.sharding.PartitionSpec
-            self.state = jax.device_put(
-                self.state, jax.sharding.NamedSharding(self.mesh, P()))
+            from ..parallel import shard_tree
+            self.state = shard_tree(self.state, self.mesh)
         meta = load_checkpoint_meta(self.tcfg.log_dir, name) or {}
         return int(meta.get("epoch", 0))
 
@@ -536,13 +542,13 @@ class BaselineTrainer:
         }, self.mesh)
 
     def _init_state(self) -> TrainState:
-        from ..parallel import replicate
+        from ..parallel import shard_tree
         batch = next(iter(self.train_dataloader))
         variables = jax.jit(self.model.init)(
             self.base_key, self._data_dict(batch))
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        return replicate(state, self.mesh)
+        return shard_tree(state, self.mesh)
 
     def _get_step(self):
         if self._step is None:

@@ -65,6 +65,10 @@ def add_common_args(ap):
                     help="override config num_epochs")
     ap.add_argument("--dp", type=int, default=-1,
                     help="data-parallel devices; -1 = all, 1 = single")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ('model' mesh axis) size; >1 "
+                         "shards attention/MLP/tokenizer params per "
+                         "parallel/partition.py (requires attn_impl=xla)")
     return ap
 
 
@@ -75,11 +79,11 @@ def get_session(args) -> SessionSplits:
     return load_ibl_session(args.eid)
 
 
-def build_mesh(dp: int):
-    """Mesh over the 'data' axis, or None for single-device execution."""
+def build_mesh(dp: int, tp: int = 1):
+    """Mesh over ('data',) or ('data','model'); None for single-device."""
     from multi_modal_foundation_model_tpu.parallel import \
         build_mesh as _build_mesh
-    return _build_mesh(dp)
+    return _build_mesh(dp, tp=tp)
 
 
 def log_dir_for(base_path: str, eid: str, modal_filter, model_name: str) -> str:

@@ -75,7 +75,7 @@ def main():
 
     trainer = BaselineTrainer(model, train_loader, val_loader, ocfg, tcfg,
                               modal_filter=modal_filter,
-                              mesh=build_mesh(args.dp), logger=logger)
+                              mesh=build_mesh(args.dp, args.tp), logger=logger)
     summary = trainer.train()
 
     # record what eval needs to rebuild the model

@@ -96,7 +96,7 @@ def main():
     trainer = MultiModalTrainer(
         model, train_loader, val_loader, ocfg, tcfg,
         modal_filter=modal_filter, num_neurons=[n_neurons],
-        mesh=build_mesh(args.dp), logger=logger)
+        mesh=build_mesh(args.dp, args.tp), logger=logger)
     summary = trainer.train()
     print("best:", {k: v for k, v in summary.items() if k != "history"})
 

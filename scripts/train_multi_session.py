@@ -100,7 +100,7 @@ def main():
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),
         tcfg, region_table=table, eid_to_sid=meta["eid_to_sid"],
-        mesh=build_mesh(args.dp), logger=MetricLogger(log_dir))
+        mesh=build_mesh(args.dp, args.tp), logger=MetricLogger(log_dir))
     summary = trainer.train()
     print("best:", {k: v for k, v in summary.items() if k != "history"})
 
