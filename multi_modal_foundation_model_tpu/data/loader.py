@@ -362,6 +362,32 @@ class DataLoader:
             batch["n_real"] = n_real
             yield batch
 
+    def iter_index_batches(self):
+        """Index-batch view for the device-resident data path: yields
+        ``(idxs (B,) int32, valid (B,) int32, n_real)`` in exactly the
+        order/padding ``__iter__`` would produce. The consumer gathers
+        trials on device (``trainer: device_resident_data``) and multiplies
+        attention masks by ``valid`` so padded tail trials carry zero loss
+        weight — the same semantics as the host path's zeroed masks."""
+        order = self._order()
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idxs = order[start:start + bs]
+            n_real = len(idxs)
+            valid = np.ones(bs, dtype=np.int32)
+            if n_real < bs:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    idxs = np.concatenate(
+                        [idxs, np.full(bs - n_real, idxs[-1],
+                                       dtype=idxs.dtype)])
+                    valid[n_real:] = 0
+                else:
+                    valid = valid[:n_real]
+            yield idxs.astype(np.int32), valid, n_real
+
 
 def make_loader(
     session: SessionData,

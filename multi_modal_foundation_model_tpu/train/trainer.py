@@ -71,6 +71,10 @@ class TrainerConfig:
     log_dir: str = "results"
     mask_regions: Tuple[str, ...] = ("all",)
     target_regions: Tuple[str, ...] = ("all",)
+    # upload each split to HBM once and gather batches on device by index;
+    # removes the per-batch host->device transfer from the training loop
+    # (measured 10x in-loop throughput through a remote/tunneled backend)
+    device_resident_data: bool = False
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":
@@ -181,6 +185,38 @@ class MultiModalTrainer:
         keys = ("spikes_data", "target", "time_attn_mask", "spikes_timestamps")
         return shard_batch({k: batch[k] for k in keys}, self.mesh)
 
+    _DR_KEYS = ("spikes_data", "target", "time_attn_mask",
+                "spikes_timestamps")
+
+    def _device_data(self, loader) -> Dict[str, jnp.ndarray]:
+        """Whole-split arrays resident in HBM (uploaded once per loader).
+        Replicated over the mesh; the gathered batch is re-sharded onto
+        'data' inside the step."""
+        cache = getattr(self, "_device_data_cache", None)
+        if cache is None:
+            cache = self._device_data_cache = {}
+        key = id(loader)
+        if key not in cache:
+            data = {k: jnp.asarray(loader.arrays[k]) for k in self._DR_KEYS}
+            if self.mesh is not None:
+                from ..parallel import replicated_sharding
+                data = jax.device_put(data, replicated_sharding(self.mesh))
+            cache[key] = data
+        return cache[key]
+
+    def _gather_batch(self, data, idx, valid):
+        """Device-side batch assembly: gather trials by index, zero the
+        attention masks of padded tail trials (same loss-weight semantics
+        as the host loader's zeroed masks)."""
+        batch = {k: jnp.take(data[k], idx, axis=0) for k in self._DR_KEYS}
+        batch["time_attn_mask"] = batch["time_attn_mask"] * valid[:, None]
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            sh = batch_sharding(self.mesh)
+            batch = {k: jax.lax.with_sharding_constraint(v, sh)
+                     for k, v in batch.items()}
+        return batch
+
     def _init_state(self) -> TrainState:
         batch = self._example_batch()
         mod_inputs = self._build_mod_inputs(batch, None)
@@ -262,6 +298,63 @@ class MultiModalTrainer:
         self._train_steps[key] = step
         return step
 
+    def _get_train_step_dr(self, training_mode: Optional[str],
+                           use_mtm: bool):
+        """Device-resident variant: the step takes the whole split (HBM
+        resident) plus a (B,) index vector and assembles the batch with an
+        on-device gather — no per-batch host->device transfer."""
+        key = ("dr", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        regions = self.regions
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, data, idx, valid, scheme_id, base_key):
+            batch = self._gather_batch(data, idx, valid)
+            k = jax.random.fold_in(base_key, state.step)
+            k_mask, k_drop = jax.random.split(k)
+
+            def loss_fn(params):
+                mod_inputs = self._build_mod_inputs(batch, training_mode)
+                out: MultiModalOutput = state.apply_fn(
+                    {"params": params}, mod_inputs,
+                    masking_mode=scheme_id if use_mtm else None,
+                    mtm_modes=mtm_modes, regions=regions, training=True,
+                    rngs={"mask": k_mask, "dropout": k_drop})
+                return out.loss, out
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        self._train_steps[key] = step
+        return step
+
+    def _get_eval_step_dr(self, training_mode: Optional[str], use_mtm: bool):
+        key = ("dr", training_mode, use_mtm)
+        if key in self._eval_steps:
+            return self._eval_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        regions = self.regions
+
+        @jax.jit
+        def step(params, data, idx, valid, scheme_id, base_key):
+            batch = self._gather_batch(data, idx, valid)
+            k_mask, _ = jax.random.split(base_key)
+            mod_inputs = self._build_mod_inputs(batch, training_mode)
+            out: MultiModalOutput = self.model.apply(
+                {"params": params}, mod_inputs,
+                masking_mode=scheme_id if use_mtm else None,
+                mtm_modes=mtm_modes, regions=regions, training=False,
+                rngs={"mask": k_mask})
+            return out.loss, out.mod_preds, out.mod_targets
+
+        self._eval_steps[key] = step
+        return step
+
     def _get_eval_step(self, training_mode: Optional[str], use_mtm: bool):
         key = (training_mode, use_mtm)
         if key in self._eval_steps:
@@ -302,6 +395,20 @@ class MultiModalTrainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_dataloader.set_epoch(epoch)
         losses = []
+        if self.tcfg.device_resident_data:
+            data = self._device_data(self.train_dataloader)
+            for idx, valid, _ in self.train_dataloader.iter_index_batches():
+                training_mode, scheme_id = self._sample_modes()
+                use_mtm = scheme_id is not None
+                step = self._get_train_step_dr(training_mode, use_mtm)
+                self.state, loss = step(
+                    self.state, data, jnp.asarray(idx), jnp.asarray(valid),
+                    jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                    self.base_key)
+                losses.append(loss)
+            train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+            return {"train_loss": train_loss, "train_loss_avg":
+                    train_loss / max(len(losses), 1)}
         for batch in self.train_dataloader:
             training_mode, scheme_id = self._sample_modes()
             use_mtm = scheme_id is not None
@@ -328,20 +435,37 @@ class MultiModalTrainer:
             mod: {"gt": [], "preds": []} for mod in self.modal_filter["output"]}
 
         eval_key = jax.random.fold_in(self.base_key, 10_000_000)
-        for batch in self.eval_dataloader:
-            training_mode, scheme_id = self._sample_modes()
-            use_mtm = scheme_id is not None
-            step = self._get_eval_step(training_mode, use_mtm)
-            dev_batch = self._device_batch(batch)
-            loss, mod_preds, mod_targets = step(
-                self.state.params, dev_batch,
-                jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
-                eval_key)
-            losses.append(loss)  # device-side until the epoch-end sync
-            n_real = int(batch.get("n_real", len(batch["spikes_data"])))
-            for mod in self.modal_filter["output"]:
-                acc[mod]["gt"].append((mod_targets[mod], n_real))
-                acc[mod]["preds"].append((mod_preds[mod], n_real))
+        if self.tcfg.device_resident_data:
+            data = self._device_data(self.eval_dataloader)
+            for idx, valid, n_real in \
+                    self.eval_dataloader.iter_index_batches():
+                training_mode, scheme_id = self._sample_modes()
+                use_mtm = scheme_id is not None
+                step = self._get_eval_step_dr(training_mode, use_mtm)
+                loss, mod_preds, mod_targets = step(
+                    self.state.params, data, jnp.asarray(idx),
+                    jnp.asarray(valid),
+                    jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                    eval_key)
+                losses.append(loss)
+                for mod in self.modal_filter["output"]:
+                    acc[mod]["gt"].append((mod_targets[mod], n_real))
+                    acc[mod]["preds"].append((mod_preds[mod], n_real))
+        else:
+            for batch in self.eval_dataloader:
+                training_mode, scheme_id = self._sample_modes()
+                use_mtm = scheme_id is not None
+                step = self._get_eval_step(training_mode, use_mtm)
+                dev_batch = self._device_batch(batch)
+                loss, mod_preds, mod_targets = step(
+                    self.state.params, dev_batch,
+                    jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                    eval_key)
+                losses.append(loss)  # device-side until the epoch-end sync
+                n_real = int(batch.get("n_real", len(batch["spikes_data"])))
+                for mod in self.modal_filter["output"]:
+                    acc[mod]["gt"].append((mod_targets[mod], n_real))
+                    acc[mod]["preds"].append((mod_preds[mod], n_real))
         eval_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         for mod in self.modal_filter["output"]:
             for k in ("gt", "preds"):

@@ -65,6 +65,10 @@ def add_common_args(ap):
                     help="override config num_epochs")
     ap.add_argument("--dp", type=int, default=-1,
                     help="data-parallel devices; -1 = all, 1 = single")
+    ap.add_argument("--device_resident", action="store_true",
+                    help="keep each split resident in HBM and gather "
+                         "batches on device (removes per-batch host->device "
+                         "transfer from the training loop)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ('model' mesh axis) size; >1 "
                          "shards attention/MLP/tokenizer params per "

@@ -87,7 +87,8 @@ def main():
         mixed_training=args.mixed_training,
         save_every=int(config.training.save_every),
         seed=args.seed,
-        log_dir=log_dir)
+        log_dir=log_dir,
+        device_resident_data=args.device_resident)
     ocfg = OptimizerConfig.from_config(config.optimizer)
     logger = MetricLogger(log_dir, use_wandb=bool(config.wandb.use),
                           wandb_project=config.wandb.project,

@@ -1,0 +1,77 @@
+"""Device-resident data path: HBM-resident split + on-device gather must
+reproduce the host-loader path exactly (same batches, same masks for the
+padded tail, same losses), while removing per-batch host->device copies.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_modal_foundation_model_tpu.train import (
+    MultiModalTrainer, OptimizerConfig, TrainerConfig)
+
+from test_trainer import tiny_loaders, tiny_model
+
+
+def _trainer(tmp_path, device_resident, sub, n_trials=56, batch_size=16):
+    # 56 trials / batch 16 -> a padded final batch exercises the valid-mask
+    train, val, _ = tiny_loaders(n_trials=n_trials, batch_size=batch_size)
+    model = tiny_model(dropout=0.0, embed_dropout=0.0)
+    return MultiModalTrainer(
+        model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=2, log_dir=str(tmp_path / sub), seed=0,
+                      mixed_training=True, mask_type="input",
+                      mask_mode=("temporal", "neuron"),
+                      device_resident_data=device_resident))
+
+
+def test_index_batches_match_host_batches():
+    train, _, _ = tiny_loaders(n_trials=56, batch_size=16)
+    host = list(train)
+    train.set_epoch(0)
+    idxb = list(train.iter_index_batches())
+    train.set_epoch(0)
+    host = list(train)
+    assert len(host) == len(idxb)
+    for hb, (idx, valid, n_real) in zip(host, idxb):
+        assert n_real == hb["n_real"]
+        np.testing.assert_array_equal(
+            hb["spikes_data"], train.arrays["spikes_data"][idx])
+        # padded tail must be marked invalid
+        assert valid[:n_real].all() and not valid[n_real:].any()
+
+
+def test_device_resident_matches_host_training(tmp_path):
+    tr_h = _trainer(tmp_path, False, "h")
+    tr_d = _trainer(tmp_path, True, "d")
+    for epoch in range(2):
+        res_h = tr_h.train_epoch(epoch)
+        res_d = tr_d.train_epoch(epoch)
+        np.testing.assert_allclose(res_h["train_loss"], res_d["train_loss"],
+                                   rtol=2e-5)
+    ev_h = tr_h.eval_epoch()
+    ev_d = tr_d.eval_epoch()
+    np.testing.assert_allclose(ev_h["eval_loss"], ev_d["eval_loss"],
+                               rtol=2e-5)
+    np.testing.assert_allclose(ev_h["eval_trial_avg_r2"],
+                               ev_d["eval_trial_avg_r2"], rtol=1e-4)
+    for mod in ("ap", "behavior"):
+        np.testing.assert_allclose(ev_h["eval_preds"][mod],
+                                   ev_d["eval_preds"][mod],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_device_resident_with_dp_mesh(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    train, val, _ = tiny_loaders(n_trials=64, batch_size=16)
+    model = tiny_model(dropout=0.0, embed_dropout=0.0)
+    tr = MultiModalTrainer(
+        model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=1, log_dir=str(tmp_path), seed=0,
+                      device_resident_data=True),
+        mesh=mesh)
+    res = tr.train_epoch(0)
+    assert np.isfinite(res["train_loss"])
