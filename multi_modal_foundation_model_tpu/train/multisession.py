@@ -217,18 +217,35 @@ class MultiSessionTrainer(MultiModalTrainer):
         return eids
 
     def train_epoch(self, epoch: int):
+        from ..data.prefetch import DevicePrefetcher
+
         iters = {}
         for e, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
             iters[e] = iter(loader)
         losses = []
-        for eid in self._epoch_schedule(epoch):
-            batch = next(iters[eid])
+
+        def host_batches():
+            for eid in self._epoch_schedule(epoch):
+                yield eid, next(iters[eid])
+
+        # opt-in: placement runs ahead on a daemon thread so the
+        # host->device transfer overlaps the previous step's compute
+        # (direct-attached TPUs; hurts through a tunnel — TrainerConfig)
+        if self.tcfg.prefetch_depth > 0:
+            batches = DevicePrefetcher(
+                host_batches(),
+                lambda t: (t[0], self._device_batch(t[1])),
+                depth=self.tcfg.prefetch_depth)
+        else:
+            batches = ((eid, self._device_batch(b))
+                       for eid, b in host_batches())
+        for eid, dev_batch in batches:
             training_mode, scheme_id = self._sample_modes()
             use_mtm = scheme_id is not None
             step = self._get_train_step(training_mode, use_mtm)
             self.state, loss = step(
-                self.state, self._device_batch(batch),
+                self.state, dev_batch,
                 jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
                 jnp.asarray(self.eid_to_sid[eid], jnp.int32),
                 self.base_key)

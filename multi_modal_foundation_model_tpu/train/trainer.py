@@ -75,6 +75,11 @@ class TrainerConfig:
     # removes the per-batch host->device transfer from the training loop
     # (measured 10x in-loop throughput through a remote/tunneled backend)
     device_resident_data: bool = False
+    # >0: place batches N ahead on a daemon thread (flax prefetch_to_device
+    # pattern) for streaming loaders on direct-attached TPUs. Default off:
+    # through a tunneled backend the background device_put contends with
+    # step dispatch on the same connection and measurably HURTS (RESULTS.md)
+    prefetch_depth: int = 0
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":
@@ -409,11 +414,17 @@ class MultiModalTrainer:
             train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
             return {"train_loss": train_loss, "train_loss_avg":
                     train_loss / max(len(losses), 1)}
-        for batch in self.train_dataloader:
+        if self.tcfg.prefetch_depth > 0:
+            from ..data.prefetch import DevicePrefetcher
+            batches = DevicePrefetcher(self.train_dataloader,
+                                       self._device_batch,
+                                       depth=self.tcfg.prefetch_depth)
+        else:
+            batches = (self._device_batch(b) for b in self.train_dataloader)
+        for dev_batch in batches:
             training_mode, scheme_id = self._sample_modes()
             use_mtm = scheme_id is not None
             step = self._get_train_step(training_mode, use_mtm)
-            dev_batch = self._device_batch(batch)
             self.state, loss = step(
                 self.state, dev_batch,
                 jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
