@@ -147,6 +147,69 @@ class MultiSessionTrainer(MultiModalTrainer):
             {"space_attn_mask": batch["space_attn_mask"]}, self.mesh))
         return out
 
+    # device-resident splits additionally carry the per-session space mask
+    _DR_KEYS = ("spikes_data", "target", "time_attn_mask",
+                "spikes_timestamps", "space_attn_mask")
+
+    def _get_train_step_dr(self, training_mode, use_mtm):
+        key = ("ms-dr", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, data, idx, valid, scheme_id, session_id, base_key):
+            batch = self._gather_batch(data, idx, valid)
+            k = jax.random.fold_in(base_key, state.step)
+            k_mask, k_drop = jax.random.split(k)
+            regions = table.select(session_id)
+
+            def loss_fn(params):
+                mod_inputs = self._build_mod_inputs(batch, training_mode)
+                out = state.apply_fn(
+                    {"params": params}, mod_inputs,
+                    masking_mode=scheme_id if use_mtm else None,
+                    mtm_modes=mtm_modes, regions=regions, training=True,
+                    session_id=session_id,
+                    space_attn_mask=batch["space_attn_mask"],
+                    rngs={"mask": k_mask, "dropout": k_drop})
+                return out.loss, out
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        self._train_steps[key] = step
+        return step
+
+    def _get_eval_step_dr(self, training_mode, use_mtm):
+        key = ("ms-dr", training_mode, use_mtm)
+        if key in self._eval_steps:
+            return self._eval_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @jax.jit
+        def step(params, data, idx, valid, scheme_id, session_id, base_key):
+            batch = self._gather_batch(data, idx, valid)
+            k_mask, _ = jax.random.split(base_key)
+            regions = table.select(session_id)
+            mod_inputs = self._build_mod_inputs(batch, training_mode)
+            out = self.model.apply(
+                {"params": params}, mod_inputs,
+                masking_mode=scheme_id if use_mtm else None,
+                mtm_modes=mtm_modes, regions=regions, training=False,
+                session_id=session_id,
+                space_attn_mask=batch["space_attn_mask"],
+                rngs={"mask": k_mask})
+            return out.loss, out.mod_preds, out.mod_targets
+
+        self._eval_steps[key] = step
+        return step
+
     def _get_train_step(self, training_mode, use_mtm):
         key = ("ms", training_mode, use_mtm)
         if key in self._train_steps:
@@ -219,6 +282,9 @@ class MultiSessionTrainer(MultiModalTrainer):
     def train_epoch(self, epoch: int):
         from ..data.prefetch import DevicePrefetcher
 
+        if self.tcfg.device_resident_data:
+            return self._train_epoch_dr(epoch)
+
         iters = {}
         for e, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
@@ -254,6 +320,32 @@ class MultiSessionTrainer(MultiModalTrainer):
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
 
+    def _train_epoch_dr(self, epoch: int):
+        """Device-resident epoch: every session's split lives in HBM (one
+        upload, cached across epochs); the host sends only (B,) index
+        vectors. HBM budget is ~100 MB per 1k trials per session — for
+        hundreds of sessions use the streaming path instead."""
+        iters = {}
+        for e, loader in self.train_loaders.items():
+            loader.set_epoch(epoch)
+            iters[e] = loader.iter_index_batches()
+        losses = []
+        for eid in self._epoch_schedule(epoch):
+            idx, valid, _ = next(iters[eid])
+            data = self._device_data(self.train_loaders[eid])
+            training_mode, scheme_id = self._sample_modes()
+            use_mtm = scheme_id is not None
+            step = self._get_train_step_dr(training_mode, use_mtm)
+            self.state, loss = step(
+                self.state, data, jnp.asarray(idx), jnp.asarray(valid),
+                jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                jnp.asarray(self.eid_to_sid[eid], jnp.int32),
+                self.base_key)
+            losses.append(loss)
+        train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(len(losses), 1)}
+
     def eval_epoch(self):
         """Per-session metric accumulation (reference keys session results
         by neuron count, ``trainer/base.py:208-263``; eids are the stable
@@ -268,23 +360,44 @@ class MultiSessionTrainer(MultiModalTrainer):
             acc = {mod: {"gt": [], "preds": []}
                    for mod in self.modal_filter["output"]}
             n_real_neurons = None
-            for batch in loader:
-                training_mode, scheme_id = self._sample_modes()
-                use_mtm = scheme_id is not None
-                step = self._get_eval_step(training_mode, use_mtm)
-                loss, mod_preds, mod_targets = step(
-                    self.state.params, self._device_batch(batch),
-                    jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
-                    sid, eval_key)
-                losses.append(loss)
-                n_real = int(batch.get("n_real", len(batch["spikes_data"])))
-                space = np.asarray(batch["space_attn_mask"][0])
+            if self.tcfg.device_resident_data:
+                data = self._device_data(loader)
+                space = np.asarray(loader.arrays["space_attn_mask"][0])
                 zeros = np.nonzero(space == 0)[0]
                 n_real_neurons = (int(zeros.min()) if len(zeros)
                                   else space.shape[-1])
-                for mod in self.modal_filter["output"]:
-                    acc[mod]["gt"].append((mod_targets[mod], n_real))
-                    acc[mod]["preds"].append((mod_preds[mod], n_real))
+                for idx, valid, n_real in loader.iter_index_batches():
+                    training_mode, scheme_id = self._sample_modes()
+                    use_mtm = scheme_id is not None
+                    step = self._get_eval_step_dr(training_mode, use_mtm)
+                    loss, mod_preds, mod_targets = step(
+                        self.state.params, data, jnp.asarray(idx),
+                        jnp.asarray(valid),
+                        jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                        sid, eval_key)
+                    losses.append(loss)
+                    for mod in self.modal_filter["output"]:
+                        acc[mod]["gt"].append((mod_targets[mod], n_real))
+                        acc[mod]["preds"].append((mod_preds[mod], n_real))
+            else:
+                for batch in loader:
+                    training_mode, scheme_id = self._sample_modes()
+                    use_mtm = scheme_id is not None
+                    step = self._get_eval_step(training_mode, use_mtm)
+                    loss, mod_preds, mod_targets = step(
+                        self.state.params, self._device_batch(batch),
+                        jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                        sid, eval_key)
+                    losses.append(loss)
+                    n_real = int(batch.get("n_real",
+                                           len(batch["spikes_data"])))
+                    space = np.asarray(batch["space_attn_mask"][0])
+                    zeros = np.nonzero(space == 0)[0]
+                    n_real_neurons = (int(zeros.min()) if len(zeros)
+                                      else space.shape[-1])
+                    for mod in self.modal_filter["output"]:
+                        acc[mod]["gt"].append((mod_targets[mod], n_real))
+                        acc[mod]["preds"].append((mod_preds[mod], n_real))
 
             gt_all[eid], preds_all[eid] = {}, {}
             for mod in self.modal_filter["output"]:

@@ -215,6 +215,9 @@ class MultiModalTrainer:
         as the host loader's zeroed masks)."""
         batch = {k: jnp.take(data[k], idx, axis=0) for k in self._DR_KEYS}
         batch["time_attn_mask"] = batch["time_attn_mask"] * valid[:, None]
+        if "space_attn_mask" in batch:  # multisession keys
+            batch["space_attn_mask"] = (batch["space_attn_mask"]
+                                        * valid[:, None])
         if self.mesh is not None:
             from ..parallel import batch_sharding
             sh = batch_sharding(self.mesh)

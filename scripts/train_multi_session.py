@@ -95,7 +95,8 @@ def main():
         mask_mode=mask_mode,
         mixed_training=args.mixed_training,
         save_every=int(config.training.save_every),
-        seed=args.seed, log_dir=log_dir)
+        seed=args.seed, log_dir=log_dir,
+        device_resident_data=args.device_resident)
 
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),

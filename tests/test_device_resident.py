@@ -62,6 +62,54 @@ def test_device_resident_matches_host_training(tmp_path):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_multisession_device_resident_matches_host(tmp_path):
+    from multi_modal_foundation_model_tpu.data.session import synthetic_splits
+    from multi_modal_foundation_model_tpu.ops.masking import RegionTable
+    from multi_modal_foundation_model_tpu.train import (
+        MultiSessionTrainer, build_multisession_loaders)
+
+    T = 20
+
+    def mk(device_resident, sub):
+        sessions = {
+            "a": synthetic_splits(seed=1, n_trials=40, n_neurons=24,
+                                  n_timesteps=T, eid="a"),
+            "b": synthetic_splits(seed=2, n_trials=40, n_neurons=40,
+                                  n_timesteps=T, eid="b"),
+        }
+        train, val, _, meta = build_multisession_loaders(
+            sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+        table = RegionTable.build(meta["per_session_region_ids"],
+                                  region_vocab=meta["region_vocab"])
+        from test_multisession import stitched_model
+        model = stitched_model(meta["n_max"])
+        # dropout off for exact cross-path comparison
+        import dataclasses as dc
+        model = type(model)(dc.replace(model.config, dropout=0.0,
+                                       embed_dropout=0.0))
+        tr = MultiSessionTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=1, log_dir=str(tmp_path / sub), seed=0,
+                          mask_type="input", mask_mode=("temporal",),
+                          mixed_training=True,
+                          device_resident_data=device_resident),
+            region_table=table, eid_to_sid=meta["eid_to_sid"])
+        return tr
+
+    tr_h = mk(False, "h")
+    tr_d = mk(True, "d")
+    res_h = tr_h.train_epoch(0)
+    res_d = tr_d.train_epoch(0)
+    np.testing.assert_allclose(res_h["train_loss"], res_d["train_loss"],
+                               rtol=2e-5)
+    ev_h = tr_h.eval_epoch()
+    ev_d = tr_d.eval_epoch()
+    np.testing.assert_allclose(ev_h["eval_loss"], ev_d["eval_loss"],
+                               rtol=2e-5)
+    np.testing.assert_allclose(ev_h["eval_trial_avg_r2"],
+                               ev_d["eval_trial_avg_r2"], rtol=1e-4)
+
+
 def test_device_resident_with_dp_mesh(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
