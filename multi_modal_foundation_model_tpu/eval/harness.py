@@ -58,7 +58,7 @@ from .metrics import (bits_per_spike, create_behavior_conditions,
 class EvalForward:
     """One jitted full-test-set forward + a chunked-vmap channel sweep."""
 
-    def __init__(self, model, params, batch, chunk: int = 8):
+    def __init__(self, model, params, batch, chunk: int = 16):
         self.model = model
         self.params = params
         self.chunk = chunk
@@ -194,7 +194,7 @@ def co_smoothing_eval(
     avail_beh: Sequence[str] = ("wheel-speed", "whisker-motion-energy"),
     subtract: str = "task",
     onset_alignment: Sequence[int] = (40,),
-    chunk: int = 8,
+    chunk: int = 16,
     save_plot: bool = False,
     max_plots: int = 20,
 ) -> Dict[str, Any]:
