@@ -80,6 +80,11 @@ class TrainerConfig:
     # through a tunneled backend the background device_put contends with
     # step dispatch on the same connection and measurably HURTS (RESULTS.md)
     prefetch_depth: int = 0
+    # device-resident path only: lax.scan K optimizer steps per dispatch,
+    # amortizing per-call dispatch latency. MtM scheme ids still vary per
+    # step (traced); with mixed_training the objective is sampled once per
+    # K-step group instead of per step (semantics documented in RESULTS.md)
+    steps_per_dispatch: int = 1
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":
@@ -340,6 +345,69 @@ class MultiModalTrainer:
         self._train_steps[key] = step
         return step
 
+    def _run_scan_group(self, data, group):
+        """Dispatch one lax.scan of len(group) optimizer steps. The
+        objective (mixed_training) is sampled once per group; MtM schemes
+        are sampled per step and scanned as a traced operand."""
+        training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
+                         if self.mixed_training else None)
+        schemes = []
+        for _ in group:
+            if self.masking_schemes:
+                s = _host_sample(self._host_rng, self.masking_schemes)
+                schemes.append(self.masking_schemes.index(s))
+            else:
+                schemes.append(0)
+        use_mtm = bool(self.masking_schemes)
+        mstep = self._get_multi_step_dr(training_mode, use_mtm)
+        idxs = jnp.asarray(np.stack([g[0] for g in group]))
+        valids = jnp.asarray(np.stack([g[1] for g in group]))
+        self.state, losses = mstep(
+            self.state, data, idxs, valids,
+            jnp.asarray(schemes, jnp.int32), self.base_key)
+        return losses
+
+    def _get_multi_step_dr(self, training_mode: Optional[str],
+                           use_mtm: bool):
+        """K optimizer steps per dispatch via lax.scan over index batches
+        (device-resident path). The MtM scheme id is a scanned operand, so
+        per-step scheme switching stays exact."""
+        key = ("dr-scan", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        regions = self.regions
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state: TrainState, data, idxs, valids, schemes,
+                       base_key):
+            def body(st, xs):
+                idx, valid, scheme_id = xs
+                batch = self._gather_batch(data, idx, valid)
+                k = jax.random.fold_in(base_key, st.step)
+                k_mask, k_drop = jax.random.split(k)
+
+                def loss_fn(params):
+                    mod_inputs = self._build_mod_inputs(batch, training_mode)
+                    out: MultiModalOutput = st.apply_fn(
+                        {"params": params}, mod_inputs,
+                        masking_mode=scheme_id if use_mtm else None,
+                        mtm_modes=mtm_modes, regions=regions, training=True,
+                        rngs={"mask": k_mask, "dropout": k_drop})
+                    return out.loss, out
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                return st.apply_gradients(grads=grads), loss
+
+            state, losses = jax.lax.scan(body, state,
+                                         (idxs, valids, schemes))
+            return state, losses
+
+        self._train_steps[key] = multi_step
+        return multi_step
+
     def _get_eval_step_dr(self, training_mode: Optional[str], use_mtm: bool):
         key = ("dr", training_mode, use_mtm)
         if key in self._eval_steps:
@@ -405,7 +473,25 @@ class MultiModalTrainer:
         losses = []
         if self.tcfg.device_resident_data:
             data = self._device_data(self.train_dataloader)
+            K = max(1, self.tcfg.steps_per_dispatch)
+            pending = []
             for idx, valid, _ in self.train_dataloader.iter_index_batches():
+                if K == 1:
+                    training_mode, scheme_id = self._sample_modes()
+                    use_mtm = scheme_id is not None
+                    step = self._get_train_step_dr(training_mode, use_mtm)
+                    self.state, loss = step(
+                        self.state, data, jnp.asarray(idx),
+                        jnp.asarray(valid),
+                        jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                        self.base_key)
+                    losses.append(loss)
+                else:
+                    pending.append((idx, valid))
+                    if len(pending) == K:
+                        losses.append(self._run_scan_group(data, pending))
+                        pending = []
+            for idx, valid in pending:   # remainder: single-step path
                 training_mode, scheme_id = self._sample_modes()
                 use_mtm = scheme_id is not None
                 step = self._get_train_step_dr(training_mode, use_mtm)
@@ -414,9 +500,11 @@ class MultiModalTrainer:
                     jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
                     self.base_key)
                 losses.append(loss)
-            train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
+            train_loss = float(jnp.concatenate(
+                [jnp.atleast_1d(l) for l in losses]).sum()) if losses else 0.0
+            n_steps = len(self.train_dataloader)
             return {"train_loss": train_loss, "train_loss_avg":
-                    train_loss / max(len(losses), 1)}
+                    train_loss / max(n_steps, 1)}
         if self.tcfg.prefetch_depth > 0:
             from ..data.prefetch import DevicePrefetcher
             batches = DevicePrefetcher(self.train_dataloader,

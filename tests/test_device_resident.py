@@ -62,6 +62,47 @@ def test_device_resident_matches_host_training(tmp_path):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_steps_per_dispatch_scan_matches_single(tmp_path):
+    """K-step lax.scan dispatch == K single-step dispatches: without mixed
+    objectives the host RNG draw order is identical, so the training
+    trajectories must match (MtM scheme ids are scanned operands)."""
+    def mk(K, sub):
+        train, val, _ = tiny_loaders(n_trials=64, batch_size=16)
+        model = tiny_model(dropout=0.0, embed_dropout=0.0)
+        return MultiModalTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=1, log_dir=str(tmp_path / sub), seed=0,
+                          mask_type="input",
+                          mask_mode=("temporal", "neuron"),
+                          device_resident_data=True,
+                          steps_per_dispatch=K))
+
+    tr1 = mk(1, "k1")
+    tr4 = mk(4, "k4")
+    for epoch in range(2):
+        r1 = tr1.train_epoch(epoch)
+        r4 = tr4.train_epoch(epoch)
+        np.testing.assert_allclose(r1["train_loss"], r4["train_loss"],
+                                   rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                    jax.tree_util.tree_leaves(tr4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_steps_per_dispatch_remainder(tmp_path):
+    # 96 trials -> 76-trial train split -> 5 batches with K=2: two scan
+    # groups + one single-step remainder (which is also a padded batch)
+    train, val, _ = tiny_loaders(n_trials=96, batch_size=16)
+    tr = MultiModalTrainer(
+        tiny_model(), train, val, OptimizerConfig(lr=1e-3),
+        TrainerConfig(num_epochs=1, log_dir=str(tmp_path), seed=0,
+                      device_resident_data=True, steps_per_dispatch=2))
+    res = tr.train_epoch(0)
+    assert np.isfinite(res["train_loss"])
+    assert int(tr.state.step) == 5
+
+
 def test_multisession_device_resident_matches_host(tmp_path):
     from multi_modal_foundation_model_tpu.data.session import synthetic_splits
     from multi_modal_foundation_model_tpu.ops.masking import RegionTable
