@@ -21,7 +21,7 @@ mask) survives. Here masks are genuinely intersected (the evident intent).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -461,7 +461,27 @@ def load_trials_and_mask(
 # energy ride the SessionLoader; pose-derived signals ride one.load_object
 _WHEEL_COLUMN = {"wheel-position": "position", "wheel-velocity": "velocity",
                  "wheel-speed": "velocity"}
-_DLC_FEATURE = {"paw-speed": None, "nose-speed": "nose_tip"}
+
+
+_LOADER_LOCKS: Dict[int, Any] = {}
+_LOADER_LOCKS_GUARD = None  # created lazily (threading import kept local)
+
+
+def _loader_lock(sess_loader):
+    """Per-SessionLoader mutex: load_anytime_behaviors shares one loader
+    across ThreadPoolExecutor workers, and brainbox's load_* methods
+    reassign loader attributes — check-then-load must be atomic."""
+    import threading
+
+    global _LOADER_LOCKS_GUARD
+    if _LOADER_LOCKS_GUARD is None:
+        _LOADER_LOCKS_GUARD = threading.Lock()
+    with _LOADER_LOCKS_GUARD:
+        key = id(sess_loader)
+        if key not in _LOADER_LOCKS:
+            _LOADER_LOCKS[key] = threading.Lock()
+        return _LOADER_LOCKS[key]
+
 
 BEHAVIOR_TARGETS = (
     "wheel-position", "wheel-velocity", "wheel-speed",
@@ -481,7 +501,10 @@ def load_target_behavior(one, eid, target: str, sess_loader=None) -> Dict:
         if target in _WHEEL_COLUMN:
             sl = _session_loader(one, eid, sess_loader)
             if getattr(sl, "wheel", None) is None or len(sl.wheel) == 0:
-                sl.load_wheel()
+                with _loader_lock(sl):
+                    if getattr(sl, "wheel", None) is None \
+                            or len(sl.wheel) == 0:
+                        sl.load_wheel()
             vals = np.asarray(sl.wheel[_WHEEL_COLUMN[target]])
             if target == "wheel-speed":
                 vals = np.abs(vals)
@@ -490,8 +513,14 @@ def load_target_behavior(one, eid, target: str, sess_loader=None) -> Dict:
         if target.endswith("whisker-motion-energy"):
             view = target.split("-")[0]            # 'left' | 'right'
             sl = _session_loader(one, eid, sess_loader)
-            if not getattr(sl, "motion_energy", None):
-                sl.load_motion_energy(views=[view])
+            # check the VIEW, not dict truthiness: with a shared loader a
+            # prior left-view load would otherwise skip the right view
+            me = getattr(sl, "motion_energy", None)
+            if not me or f"{view}Camera" not in me:
+                with _loader_lock(sl):
+                    me = getattr(sl, "motion_energy", None)
+                    if not me or f"{view}Camera" not in me:
+                        sl.load_motion_energy(views=[view])
             cam = sl.motion_energy[f"{view}Camera"]
             return {"times": np.asarray(cam["times"]),
                     "values": np.asarray(cam["whiskerMotionEnergy"])}
@@ -511,7 +540,7 @@ def load_target_behavior(one, eid, target: str, sess_loader=None) -> Dict:
             camera = parts[0]                       # recording camera view
             if target.endswith("nose-speed"):
                 feature = "nose_tip"
-            else:
+            else:                                   # '<cam>-camera-<side>-paw-speed'
                 feature = "paw_l" if parts[2] == "left" else "paw_r"
             obj = one.load_object(eid, f"{camera}Camera",
                                   attribute=["dlc", "features", "times"],

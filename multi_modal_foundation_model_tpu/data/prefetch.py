@@ -29,31 +29,59 @@ _SENTINEL = object()
 class DevicePrefetcher(Iterator[U]):
     """Iterate ``place(item)`` for items of ``it``, with placement running
     ``depth`` items ahead on a daemon thread. Exceptions from the producer
-    re-raise in the consumer at the failing position."""
+    re-raise in the consumer at the failing position.
+
+    An abandoned iterator (consumer raised mid-epoch, or was never
+    drained) does not strand the producer: puts poll a stop event, which
+    ``close()`` — also invoked by ``__del__`` at GC — sets, letting the
+    thread exit and release its queued (device) batches."""
 
     def __init__(self, it: Iterable[T], place: Callable[[T], U],
                  depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._err = None
+        self._stop = threading.Event()
+        self._finished = False
+
+        def put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in it:
-                    self._q.put(place(item))
+                    if not put(place(item)):
+                        return          # consumer gone; drop remainder
             except BaseException as e:  # noqa: BLE001 — re-raised on consume
                 self._err = e
             finally:
-                self._q.put(_SENTINEL)
+                put(_SENTINEL)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Release the producer thread (safe to call more than once)."""
+        self._stop.set()
+        self._finished = True
+
+    def __del__(self):
+        self._stop.set()
 
     def __iter__(self) -> "DevicePrefetcher[U]":
         return self
 
     def __next__(self) -> U:
+        if self._finished:
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
+            self._finished = True
             self._thread.join()
             if self._err is not None:
                 raise self._err

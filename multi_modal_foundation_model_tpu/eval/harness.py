@@ -231,11 +231,14 @@ def co_smoothing_eval(
             # (``eval_utils.py:1385``: {region}_{id}_{r2:.2f}_{method}.png)
             import matplotlib.pyplot as plt
 
-            from ..utils.plotting import plot_single_cell_psth
+            from ..utils.plotting import viz_single_cell_figure
             os.makedirs(save_path, exist_ok=True)
             region = (region_list[neuron].replace("/", "-")
                       if neuron < len(region_list) else "pad")
-            fig = plot_single_cell_psth(
+            # full reference viz_single_cell layout: PSTH row + PSTH-
+            # subtracted obs/pred/residual single-trial rasters
+            # (eval_utils.py:1348-1388)
+            fig = viz_single_cell_figure(
                 Xc, y, y_pred, var_tasklist, var_name2idx,
                 neuron_idx=neuron, neuron_region=region,
                 method=method_name, r2_pair=pair)

@@ -325,6 +325,15 @@ class MultiSessionTrainer(MultiModalTrainer):
         upload, cached across epochs); the host sends only (B,) index
         vectors. HBM budget is ~100 MB per 1k trials per session — for
         hundreds of sessions use the streaming path instead."""
+        if self.tcfg.steps_per_dispatch > 1 and not getattr(
+                self, "_warned_spd", False):
+            import warnings
+            warnings.warn(
+                "steps_per_dispatch > 1 is implemented for the "
+                "single-session MultiModalTrainer only; the multi-session "
+                "device-resident path dispatches one step per call",
+                stacklevel=2)
+            self._warned_spd = True
         iters = {}
         for e, loader in self.train_loaders.items():
             loader.set_epoch(epoch)

@@ -50,6 +50,9 @@ class OptimizerConfig:
             warmup_pct=float(cfg.get("warmup_pct", 0.15)),
             div_factor=float(cfg.get("div_factor", 10.0)),
             scheduler=str(cfg.get("scheduler", "cosine")),
+            cycle_momentum=bool(cfg.get("cycle_momentum", True)),
+            base_momentum=float(cfg.get("base_momentum", 0.85)),
+            max_momentum=float(cfg.get("max_momentum", 0.95)),
             gradient_accumulation_steps=int(
                 cfg.get("gradient_accumulation_steps", 1)),
         )

@@ -693,11 +693,29 @@ class MultiModalTrainer:
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
                   "step": self.state.step}
-        tree = restore_checkpoint(self.tcfg.log_dir, name,
-                                  target=jax.device_get(target))
-        self.state = self.state.replace(
-            params=tree["params"], opt_state=tree["opt_state"],
-            step=jnp.asarray(tree["step"]))
+        try:
+            tree = restore_checkpoint(self.tcfg.log_dir, name,
+                                      target=jax.device_get(target))
+            self.state = self.state.replace(
+                params=tree["params"], opt_state=tree["opt_state"],
+                step=jnp.asarray(tree["step"]))
+        except Exception:
+            # optimizer-state structure mismatch: e.g. a checkpoint saved
+            # before momentum cycling (plain optax.adamw state) resumed
+            # into an inject_hyperparams optimizer, or a converted
+            # reference checkpoint with params only. Restore params (+step
+            # when present) and keep the freshly initialized opt_state.
+            import warnings
+            tree = restore_checkpoint(self.tcfg.log_dir, name)  # raw tree
+            self.state = self.state.replace(params=tree["params"])
+            if "step" in tree:
+                self.state = self.state.replace(
+                    step=jnp.asarray(tree["step"]))
+            warnings.warn(
+                f"checkpoint '{name}' has a different optimizer-state "
+                "structure (pre-momentum-cycling or params-only); restored "
+                "params and reinitialized the optimizer state",
+                stacklevel=2)
         if self.mesh is not None:
             from ..parallel import shard_tree
             self.state = shard_tree(self.state, self.mesh)

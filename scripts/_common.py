@@ -76,6 +76,19 @@ def add_common_args(ap):
     return ap
 
 
+def warn_unsupported(args, *flags: str) -> None:
+    """Emit a warning for common flags this entry point does not honor
+    (e.g. --device_resident on the baseline trainer) instead of silently
+    dropping them."""
+    import warnings
+
+    defaults = {"device_resident": False, "tp": 1, "dp": -1}
+    for f in flags:
+        if getattr(args, f, defaults.get(f)) != defaults.get(f):
+            warnings.warn(f"--{f} is not supported by this script and is "
+                          "ignored", stacklevel=2)
+
+
 def get_session(args) -> SessionSplits:
     if args.synthetic:
         return synthetic_splits(seed=args.seed, n_trials=args.n_trials,

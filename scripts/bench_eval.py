@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--n-test", type=int, default=60)
     ap.add_argument("--max-F", type=int, default=100)
     ap.add_argument("--chunks", type=int, nargs="+", default=[4, 8, 16, 32])
-    ap.add_argument("--use-mtm", action="store_true", default=True)
+    ap.add_argument("--use-mtm", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--out", type=str, default="results/bench_eval.json")
     args = ap.parse_args()
 

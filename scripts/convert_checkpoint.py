@@ -5,7 +5,9 @@ Two directions (``utils.torch_convert`` does the tree mapping):
 - ``to-flax``: a reference checkpoint (``model_best.pt`` whole-module
   pickle, or a ``state_dict`` .pt) -> an orbax ``model_<name>/`` dir +
   ``model_config.json`` sidecar, directly consumable by
-  ``eval.load_model_data_local`` and the trainers' ``restore``.
+  ``eval.load_model_data_local``. The trainers' ``restore`` also accepts
+  it (params restored; optimizer state freshly initialized, with a
+  warning — the reference checkpoint has no optimizer state to convert).
 - ``to-torch``: an orbax checkpoint dir -> a ``state_dict`` .pt in the
   reference's parameter naming, loadable with
   ``ref_model.load_state_dict(torch.load(out))`` on the reference side.

@@ -9,7 +9,8 @@ import argparse
 import json
 import os
 
-from _common import add_common_args, get_session, log_dir_for
+from _common import (add_common_args, get_session, log_dir_for,
+                     warn_unsupported)
 
 from multi_modal_foundation_model_tpu.data.loader import make_loader
 from multi_modal_foundation_model_tpu.data.session import DEFAULT_TARGETS
@@ -29,6 +30,7 @@ def main():
     ap.add_argument("--checkpoint", type=str, default="best")
     ap.add_argument("--n_time_steps", type=int, default=100)
     args = ap.parse_args()
+    warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
     if args.direction == "encoding":
         modal_filter = {"input": ["behavior"], "output": ["ap"]}

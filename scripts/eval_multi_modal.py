@@ -12,7 +12,8 @@ import os
 
 import numpy as np
 
-from _common import add_common_args, get_session, log_dir_for
+from _common import (add_common_args, get_session, log_dir_for,
+                     warn_unsupported)
 
 from multi_modal_foundation_model_tpu.data.session import DEFAULT_TARGETS
 from multi_modal_foundation_model_tpu.eval import (co_smoothing_eval,
@@ -45,6 +46,7 @@ def main():
     ap.add_argument("--no_modal_behavior", action="store_true")
     ap.add_argument("--n_time_steps", type=int, default=100)
     args = ap.parse_args()
+    warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
     modal_filter = {"input": ["ap", "behavior"], "output": ["ap", "behavior"]}
     model_dir = args.model_dir or log_dir_for(

@@ -8,7 +8,7 @@ import argparse
 import json
 import time
 
-from _common import add_common_args  # noqa: F401 (sys.path setup)
+from _common import add_common_args, warn_unsupported  # noqa: F401
 
 import numpy as np
 
@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--n_steps", type=int, default=30)
     ap.add_argument("--trace_dir", type=str, default=None)
     args = ap.parse_args()
+    warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
     import jax
     import jax.numpy as jnp

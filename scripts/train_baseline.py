@@ -9,7 +9,8 @@ import argparse
 import json
 import os
 
-from _common import (add_common_args, apply_config_overrides, build_mesh, get_session,
+from _common import (warn_unsupported,
+                     add_common_args, apply_config_overrides, build_mesh, get_session,
                      guard_overwrite, log_dir_for)
 
 from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
@@ -32,6 +33,7 @@ def main():
                     default="decoding",
                     help="encoding: behavior->spikes; decoding: spikes->behavior")
     args = ap.parse_args()
+    warn_unsupported(args, 'device_resident')
 
     config = config_from_kwargs(
         {"model": f"include:{default_config_path('baseline.yaml')}"})

@@ -118,7 +118,7 @@ def test_sweep_matches_sequential(trained):
 
 @pytest.mark.parametrize("mode,kw", [
     ("per_neuron", {}),
-    ("per_neuron", {"use_mtm": True}),
+    ("per_neuron", {"use_mtm": True, "save_plot": True, "max_plots": 2}),
     ("forward_pred", {"held_out_list": list(range(T - 5, T))}),
     ("inter_region", {}),
     ("intra_region", {"use_mtm": True}),

@@ -55,6 +55,35 @@ def test_placement_error_propagates():
     assert seen == [0, 1, 2]
 
 
+def test_abandoned_iterator_releases_producer():
+    import threading
+
+    started = threading.Event()
+
+    def gen():
+        for i in range(100):
+            started.set()
+            yield i
+
+    it = DevicePrefetcher(gen(), lambda x: x, depth=1)
+    assert next(it) == 0
+    started.wait(1.0)
+    it.close()                    # consumer abandons mid-stream
+    it._thread.join(2.0)
+    assert not it._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)                  # post-close next raises, never blocks
+
+
+def test_next_after_exhaustion_raises():
+    it = DevicePrefetcher(iter([1]), lambda x: x, depth=1)
+    assert next(it) == 1
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)                  # second call must not block
+
+
 def test_trainer_epoch_uses_prefetch(tmp_path):
     # end-to-end: the host path still trains correctly with the pipeline
     from multi_modal_foundation_model_tpu.train import (

@@ -223,6 +223,48 @@ def test_dp_matches_single_device(tmp_path):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_restore_old_optimizer_structure_falls_back(tmp_path):
+    """A checkpoint saved with a different optimizer-state pytree (e.g.
+    pre-momentum-cycling plain adamw) restores params + step with a
+    warning instead of failing (RESULTS/ADVICE round-2 fix)."""
+    def make_trainer(logdir, cycle):
+        train, val, _ = tiny_loaders()
+        model = tiny_model(dropout=0.0, embed_dropout=0.0)
+        return MultiModalTrainer(
+            model, train, val,
+            OptimizerConfig(lr=1e-3, wd=0.01, cycle_momentum=cycle),
+            TrainerConfig(num_epochs=2, log_dir=logdir, seed=0,
+                          eval_every=10**9))
+
+    tr_old = make_trainer(str(tmp_path), cycle=False)
+    tr_old.train_epoch(0)
+    tr_old.save_model("last", epoch=0)
+    p_saved = jax.device_get(tr_old.state.params)
+
+    tr_new = make_trainer(str(tmp_path), cycle=True)
+    with pytest.warns(UserWarning, match="optimizer-state"):
+        epoch = tr_new.restore("last")
+    assert epoch == 0
+    assert int(tr_new.state.step) == int(tr_old.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(p_saved),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(tr_new.state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and training continues from the restored params
+    res = tr_new.train_epoch(1)
+    assert np.isfinite(res["train_loss"])
+
+
+def test_optimizer_config_reads_cycle_momentum():
+    from multi_modal_foundation_model_tpu.config import config_from_kwargs
+    cfg = config_from_kwargs({"optimizer": {
+        "lr": 1e-4, "wd": 0.01, "eps": 1e-8, "cycle_momentum": False}})
+    assert OptimizerConfig.from_config(cfg.optimizer).cycle_momentum is False
+    cfg2 = config_from_kwargs({"optimizer": {
+        "lr": 1e-4, "wd": 0.01, "eps": 1e-8}})
+    assert OptimizerConfig.from_config(cfg2.optimizer).cycle_momentum is True
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Resume restores params + opt_state + step exactly: training 2 epochs
     equals training 1 epoch, checkpointing, restoring, training 1 more."""

@@ -30,6 +30,34 @@ def test_plot_functions_render():
     plt.close("all")
 
 
+def test_viz_single_cell_figure_renders():
+    """Full reference viz_single_cell layout: PSTH row + PSTH-subtracted
+    obs/pred/residual rasters (eval_utils.py:1348-1388)."""
+    from multi_modal_foundation_model_tpu.eval.metrics import \
+        create_behavior_conditions
+    from multi_modal_foundation_model_tpu.utils.plotting import \
+        viz_single_cell_figure
+
+    rng = np.random.default_rng(0)
+    K, T = 24, 30
+    choice = rng.choice([-1.0, 1.0], K)
+    reward = rng.choice([0.0, 1.0], K)
+    block = rng.choice([0.2, 0.5, 0.8], K)
+    X, var_name2idx, var_tasklist, var_value2label, var_behlist = \
+        create_behavior_conditions(choice, reward, block, T=T)
+    y = rng.poisson(1.0, (K, T)).astype(float)
+    y_pred = y + rng.normal(scale=0.2, size=y.shape)
+    fig = viz_single_cell_figure(
+        X, y, y_pred, var_tasklist, var_name2idx,
+        var_value2label=var_value2label, var_behlist=var_behlist,
+        neuron_idx=7, neuron_region="CA1", method="mm",
+        r2_pair=(0.5, 0.4))
+    # 3 PSTH axes + 4 single-trial rows (plus colorbars)
+    assert len(fig.axes) >= 7
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
 def test_step_timer_warmup():
     t = StepTimer(warmup=2)
     for _ in range(5):
