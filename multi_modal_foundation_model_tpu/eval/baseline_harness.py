@@ -36,6 +36,9 @@ def co_smoothing_eval_baseline(
     avail_beh: Sequence[str] = ("wheel-speed", "whisker-motion-energy"),
     is_aligned: bool = True,
     n_time_steps: int = 100,
+    save_plot: bool = False,
+    max_plots: int = 20,
+    method_name: str = "linear",
 ) -> Dict[str, Any]:
     batch = next(iter(test_dataloader))
     T = n_time_steps
@@ -72,12 +75,30 @@ def co_smoothing_eval_baseline(
         gt_n = gt[:, :, :N]
         preds_n = np.exp(preds[:, :, :N])
         pred_held_out = preds_n[:, hd] - np.min(preds_n[:, hd])
+        regions = [str(r) for r in batch.get("neuron_regions", [])]
         for n_i in range(N):
             bps = bits_per_spike(pred_held_out[:, :, [n_i]],
                                  gt_n[:, hd][:, :, [n_i]])
             bps_result_list[n_i] = np.nan if np.isinf(bps) else bps
-            r2_result_list[n_i] = _r2_pair(gt_n[:, hd, n_i],
-                                           preds_n[:, hd, n_i], hd)
+            pair = _r2_pair(gt_n[:, hd, n_i], preds_n[:, hd, n_i], hd)
+            r2_result_list[n_i] = pair
+            if save_plot and n_i < max_plots:
+                # same per-neuron diagnostic figure as the multimodal
+                # harness (reference draws viz_single_cell in the baseline
+                # eval too, eval_baseline_utils.py:184-199)
+                import matplotlib.pyplot as plt
+
+                from ..utils.plotting import viz_single_cell_figure
+                region = (regions[n_i].replace("/", "-")
+                          if n_i < len(regions) else "pad")
+                fig = viz_single_cell_figure(
+                    X[:, hd, :], gt_n[:, hd, n_i], preds_n[:, hd, n_i],
+                    var_tasklist, var_name2idx, neuron_idx=n_i,
+                    neuron_region=region, method=method_name, r2_pair=pair)
+                fig.savefig(os.path.join(
+                    save_path,
+                    f"{region}_{n_i}_{pair[1]:.2f}_{method_name}.png"))
+                plt.close(fig)
         bps_all = np.array(bps_result_list)
         r2_all = np.array(r2_result_list)
         np.save(os.path.join(save_path, "bps.npy"), bps_all)

@@ -173,6 +173,12 @@ class MultiModalConfig:
             compute_dtype=dtype_map.get(
                 compute.get("compute_dtype", "float32"), jnp.float32),
         )
+        # per-modality loss weights (framework extension over the
+        # reference's count-summed normalization; RESULTS.md): reachable
+        # from the CLI as --set model.mod_loss_weights.behavior=20
+        lw = cfg.get("mod_loss_weights", None)
+        if lw:
+            kw["mod_loss_weights"] = {k: float(v) for k, v in dict(lw).items()}
         kw.update(overrides)
         return cls(**kw)
 

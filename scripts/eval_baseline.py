@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--model_dir", type=str, default=None)
     ap.add_argument("--checkpoint", type=str, default="best")
     ap.add_argument("--n_time_steps", type=int, default=100)
+    ap.add_argument("--save_plot", action="store_true",
+                    help="per-neuron diagnostic figures (viz_single_cell layout)")
     args = ap.parse_args()
     warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
@@ -63,7 +65,8 @@ def main():
         modal_filter=modal_filter,
         save_path=os.path.join(model_dir, "eval", mode),
         held_out_list=list(range(T)),
-        avail_beh=list(DEFAULT_TARGETS), n_time_steps=T)
+        avail_beh=list(DEFAULT_TARGETS), n_time_steps=T,
+        save_plot=args.save_plot)
     print(json.dumps(res, indent=1, default=float))
     with open(os.path.join(model_dir, "eval", "results.json"), "w") as f:
         json.dump(res, f, indent=1, default=float)

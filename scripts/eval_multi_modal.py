@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--no_modal_spike", action="store_true")
     ap.add_argument("--no_modal_behavior", action="store_true")
     ap.add_argument("--n_time_steps", type=int, default=100)
+    ap.add_argument("--save_plot", action="store_true",
+                    help="per-neuron diagnostic figures (viz_single_cell layout)")
     args = ap.parse_args()
     warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
@@ -99,7 +101,7 @@ def main():
         save_path = os.path.join(model_dir, "eval", mode)
         res = co_smoothing_eval(
             model, params, test_loader, mode=mode, use_mtm=args.use_MtM,
-            save_path=save_path, n_time_steps=T,
+            save_path=save_path, n_time_steps=T, save_plot=args.save_plot,
             avail_beh=list(DEFAULT_TARGETS), **kw)
         results.update({k: (v if isinstance(v, dict) else float(v))
                         for k, v in res.items()})
