@@ -221,7 +221,22 @@ def co_smoothing_eval(
     def _r2_pair(y, y_pred, t_idx=None, neuron=None) -> np.ndarray:
         if not is_aligned:
             from .metrics import r2_score_nanable
-            return np.array([np.nan, r2_score_nanable(y, y_pred)])
+            r2 = r2_score_nanable(y, y_pred)
+            if save_plot and neuron is not None and n_plotted[0] < max_plots:
+                import matplotlib.pyplot as plt
+
+                from ..utils.plotting import viz_single_cell_unaligned_figure
+                os.makedirs(save_path, exist_ok=True)
+                region = (region_list[neuron].replace("/", "-")
+                          if neuron < len(region_list) else "pad")
+                fig = viz_single_cell_unaligned_figure(
+                    y, y_pred, neuron_idx=neuron, neuron_region=region,
+                    method=method_name, r2=r2)
+                fig.savefig(os.path.join(
+                    save_path, f"{region}_{neuron}_{r2:.2f}_{method_name}.png"))
+                plt.close(fig)
+                n_plotted[0] += 1
+            return np.array([np.nan, r2])
         Xc = X if t_idx is None else X[:, t_idx, :]
         r2_psth, r2_trial = psth_and_trial_r2(
             Xc, y, y_pred, var_tasklist, var_name2idx)

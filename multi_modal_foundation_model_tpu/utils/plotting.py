@@ -265,3 +265,34 @@ def viz_single_cell_figure(X, y, y_pred, var_tasklist, var_name2idx,
     fig.suptitle(title, fontsize=9)
     fig.tight_layout()
     return fig
+
+
+def viz_single_cell_unaligned_figure(gt: np.ndarray, pred: np.ndarray,
+                                     neuron_idx="", neuron_region="",
+                                     method="", r2=None,
+                                     vmin_perc: float = 10.0,
+                                     vmax_perc: float = 90.0):
+    """Unaligned-session per-neuron figure: global-mean-subtracted
+    obs/pred/residual rasters, trials ordered by clustering the predicted
+    activity (reference ``viz_single_cell_unaligned``,
+    ``eval_utils.py:1392-1459``)."""
+    y = gt - gt.mean(0)
+    y_pred = pred - pred.mean(0)
+    y_resid = y - y_pred
+    t_sort = _cluster_trial_order(y_pred, n_clus=8)
+
+    vmax = np.percentile(y_pred, vmax_perc)
+    vmin = np.percentile(y_pred, vmin_perc)
+    rmax = np.percentile([y, y_pred, y_resid], vmax_perc)
+    rmin = np.percentile([y, y_pred, y_resid], vmin_perc)
+
+    fig, axes = plt.subplots(3, 1, figsize=(8, 7))
+    raster_plot(y[t_sort], vmax, vmin, True, "obs.", axes[0])
+    if r2 is not None:
+        axes[0].set_title(f" R2: {r2:.3f}")
+    raster_plot(y_pred[t_sort], vmax, vmin, True, "pred.", axes[1])
+    raster_plot(y_resid[t_sort], rmax, rmin, True, "resid.", axes[2])
+    fig.suptitle(f"Neuron #{neuron_idx} {neuron_region} {method}",
+                 fontsize=9)
+    fig.tight_layout()
+    return fig

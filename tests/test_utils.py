@@ -58,6 +58,21 @@ def test_viz_single_cell_figure_renders():
     plt.close("all")
 
 
+def test_viz_unaligned_figure_renders():
+    from multi_modal_foundation_model_tpu.utils.plotting import \
+        viz_single_cell_unaligned_figure
+
+    rng = np.random.default_rng(1)
+    gt = rng.poisson(1.0, (24, 40)).astype(float)
+    pred = gt + rng.normal(scale=0.3, size=gt.shape)
+    fig = viz_single_cell_unaligned_figure(gt, pred, neuron_idx=3,
+                                           neuron_region="PO", method="mm",
+                                           r2=0.4)
+    assert len(fig.axes) >= 3
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
 def test_step_timer_warmup():
     t = StepTimer(warmup=2)
     for _ in range(5):
