@@ -10,7 +10,6 @@ import argparse
 import json
 import os
 
-import numpy as np
 
 from _common import (add_common_args, get_session, log_dir_for,
                      warn_unsupported)

@@ -6,7 +6,6 @@ SURVEY.md §5). Writes a TensorBoard-compatible trace with --trace_dir.
 
 import argparse
 import json
-import time
 
 from _common import add_common_args, warn_unsupported  # noqa: F401
 

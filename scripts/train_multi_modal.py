@@ -7,7 +7,6 @@ data parallelism over the device mesh.
 """
 
 import argparse
-import dataclasses
 
 from _common import (add_common_args, apply_config_overrides, build_mesh, get_session,
                      guard_overwrite, log_dir_for)

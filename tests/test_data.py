@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from multi_modal_foundation_model_tpu.data import (
-    DataLoader,
     attention_mask,
     decode_spikes_on_device,
     dense_to_sparse_rows,

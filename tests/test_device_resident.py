@@ -6,7 +6,6 @@ padded tail, same losses), while removing per-batch host->device copies.
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from multi_modal_foundation_model_tpu.train import (
     MultiModalTrainer, OptimizerConfig, TrainerConfig)

@@ -7,7 +7,7 @@ import pytest
 from multi_modal_foundation_model_tpu.data.etl import (
     align_spike_behavior, bin_behaviors, bin_spikes_per_interval,
     bin_spiking_data, create_intervals, interpolate_behavior_per_interval,
-    merge_probes, trial_intervals, trials_mask)
+    merge_probes, trials_mask)
 
 
 def brute_force_bin(times, clusters, intervals, binsize, cluster_ids):

@@ -3,13 +3,11 @@ vmapped-sweep == sequential-forward equivalence, checkpoint reload."""
 
 import numpy as np
 import pytest
-import jax
 
 from multi_modal_foundation_model_tpu.data.loader import make_loader
 from multi_modal_foundation_model_tpu.data.session import synthetic_splits
 from multi_modal_foundation_model_tpu.eval import (
-    EvalForward, co_smoothing_eval, heldout_mask, load_model_data_local,
-    save_model_config)
+    EvalForward, co_smoothing_eval, heldout_mask, load_model_data_local)
 from multi_modal_foundation_model_tpu.models.multimodal import (
     MultiModal, MultiModalConfig)
 from multi_modal_foundation_model_tpu.ops.masking import MaskParams

@@ -10,7 +10,6 @@ inserts the Megatron all-reduces implied by the partition rules.
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from multi_modal_foundation_model_tpu.parallel import (
     build_mesh, model_axis_size, shard_tree, spec_for, tree_shardings)
