@@ -155,7 +155,7 @@ def bench_reference_batch(B=16, T=100, N=668, scan_len=50, repeats=5):
     return seq_per_sec, cv
 
 
-def bench_in_loop(B=256, T=100, N=668, n_trials=1024, epochs=3):
+def bench_in_loop(B=256, T=100, N=668, n_trials=512, epochs=2):
     """TRUE training-loop throughput: loader + device-resident data path +
     jitted steps (the fixed-batch numbers above exclude the data pipeline;
     with per-batch host->device copies this collapses ~10x through a
@@ -195,7 +195,10 @@ def main():
 
     seq_per_sec, mfu, flops = bench_large_batch()
     b16_seq, b16_cv = bench_reference_batch()
-    in_loop = bench_in_loop()
+    try:
+        in_loop = bench_in_loop()
+    except Exception:      # secondary measurement; never fail the bench
+        in_loop = None
 
     print(json.dumps({
         "metric": "pretrain_sequences_per_sec_per_chip",
@@ -206,7 +209,8 @@ def main():
         "step_flops": flops,
         "b16_seq_per_sec": round(b16_seq, 2),
         "b16_cv": round(b16_cv, 4),
-        "in_loop_seq_per_sec": round(in_loop, 2),
+        "in_loop_seq_per_sec":
+            round(in_loop, 2) if in_loop is not None else None,
     }))
 
 
