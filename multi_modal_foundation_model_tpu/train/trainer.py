@@ -604,14 +604,24 @@ class MultiModalTrainer:
     # outer loop (parity: trainer/base.py:106-179)
     # ------------------------------------------------------------------
 
-    def train(self) -> Dict[str, Any]:
+    def train(self, start_epoch: int = 0) -> Dict[str, Any]:
+        """Full training loop. ``start_epoch`` > 0 resumes a restored run
+        (``restore('last')`` first); the best-checkpoint watermark is
+        recovered from the model_best meta sidecar so a resumed run never
+        demotes an earlier best."""
         tcfg = self.tcfg
         best_eval_loss = float("inf")
         best_metric = -float("inf")
         best_epoch = -1
+        if start_epoch:
+            from .checkpoint import load_checkpoint_meta
+            meta = load_checkpoint_meta(tcfg.log_dir, "best") or {}
+            if "metric" in meta and meta["metric"] is not None:
+                best_metric = float(meta["metric"])
+                best_epoch = int(meta.get("epoch", -1))
         history = []
 
-        for epoch in range(tcfg.num_epochs):
+        for epoch in range(start_epoch, tcfg.num_epochs):
             t0 = time.time()
             train_res = self.train_epoch(epoch)
             eval_res = (self.eval_epoch()

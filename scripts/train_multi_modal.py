@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--use_MtM", action="store_true")
     ap.add_argument("--mixed_training", action="store_true")
     ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore model_last from log_dir and continue")
     args = ap.parse_args()
 
     config = config_from_kwargs(
@@ -55,7 +57,7 @@ def main():
         args.base_path, args.eid, modal_filter,
         f"mask-{args.mask_mode}_ratio-{args.mask_ratio}"
         f"_mixed-{args.mixed_training}")
-    guard_overwrite(log_dir, args.overwrite)
+    guard_overwrite(log_dir, args.overwrite or args.resume)
 
     T = int(config.data.max_time_length)
     bs = int(config.training.train_batch_size)
@@ -97,7 +99,11 @@ def main():
         model, train_loader, val_loader, ocfg, tcfg,
         modal_filter=modal_filter, num_neurons=[n_neurons],
         mesh=build_mesh(args.dp, args.tp), logger=logger)
-    summary = trainer.train()
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.restore("last") + 1
+        print(f"resumed from epoch {start_epoch - 1}")
+    summary = trainer.train(start_epoch=start_epoch)
     print("best:", {k: v for k, v in summary.items() if k != "history"})
 
 

@@ -255,6 +255,36 @@ def test_restore_old_optimizer_structure_falls_back(tmp_path):
     assert np.isfinite(res["train_loss"])
 
 
+def test_train_start_epoch_resume(tmp_path):
+    """train(start_epoch=k) continues a restored run: remaining epochs run,
+    and the best-checkpoint watermark from the meta sidecar is respected
+    (a worse resumed eval must not overwrite model_best)."""
+    import json
+    import os
+
+    def make_trainer(epochs):
+        train, val, _ = tiny_loaders()
+        model = tiny_model(dropout=0.0, embed_dropout=0.0)
+        return MultiModalTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=epochs, log_dir=str(tmp_path), seed=0))
+
+    tr = make_trainer(4)
+    tr.train_epoch(0)
+    tr.train_epoch(1)
+    tr.save_model("last", epoch=1)
+    tr.save_model("best", epoch=1, metric=99.0)   # unbeatable watermark
+
+    tr2 = make_trainer(4)
+    epoch = tr2.restore("last")
+    assert epoch == 1
+    res = tr2.train(start_epoch=epoch + 1)
+    assert [r["epoch"] for r in res["history"]] == [2, 3]
+    # the 99.0 watermark was recovered, so model_best meta is untouched
+    meta = json.load(open(os.path.join(str(tmp_path), "model_best.json")))
+    assert meta["metric"] == 99.0
+
+
 def test_optimizer_config_reads_cycle_momentum():
     from multi_modal_foundation_model_tpu.config import config_from_kwargs
     cfg = config_from_kwargs({"optimizer": {
