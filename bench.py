@@ -26,6 +26,7 @@ window — used here as the reference-throughput denominator.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -197,7 +198,10 @@ def main():
     b16_seq, b16_cv = bench_reference_batch()
     try:
         in_loop = bench_in_loop()
-    except Exception:      # secondary measurement; never fail the bench
+    except Exception:      # secondary measurement; never fail the bench —
+        import traceback   # but make the regression visible on stderr
+        print("bench_in_loop failed (reported as null):", file=sys.stderr)
+        traceback.print_exc()
         in_loop = None
 
     print(json.dumps({

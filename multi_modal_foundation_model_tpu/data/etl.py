@@ -463,24 +463,29 @@ _WHEEL_COLUMN = {"wheel-position": "position", "wheel-velocity": "velocity",
                  "wheel-speed": "velocity"}
 
 
-_LOADER_LOCKS: Dict[int, Any] = {}
+_LOADER_LOCKS: Any = None  # WeakKeyDictionary, created lazily
 _LOADER_LOCKS_GUARD = None  # created lazily (threading import kept local)
 
 
 def _loader_lock(sess_loader):
     """Per-SessionLoader mutex: load_anytime_behaviors shares one loader
     across ThreadPoolExecutor workers, and brainbox's load_* methods
-    reassign loader attributes — check-then-load must be atomic."""
+    reassign loader attributes — check-then-load must be atomic. Keyed
+    weakly by the loader object so locks die with their loader (no
+    unbounded growth across a long multi-session ETL run, no id()-reuse
+    aliasing)."""
     import threading
+    import weakref
 
-    global _LOADER_LOCKS_GUARD
+    global _LOADER_LOCKS, _LOADER_LOCKS_GUARD
     if _LOADER_LOCKS_GUARD is None:
         _LOADER_LOCKS_GUARD = threading.Lock()
     with _LOADER_LOCKS_GUARD:
-        key = id(sess_loader)
-        if key not in _LOADER_LOCKS:
-            _LOADER_LOCKS[key] = threading.Lock()
-        return _LOADER_LOCKS[key]
+        if _LOADER_LOCKS is None:
+            _LOADER_LOCKS = weakref.WeakKeyDictionary()
+        if sess_loader not in _LOADER_LOCKS:
+            _LOADER_LOCKS[sess_loader] = threading.Lock()
+        return _LOADER_LOCKS[sess_loader]
 
 
 BEHAVIOR_TARGETS = (

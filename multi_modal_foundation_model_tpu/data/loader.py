@@ -294,8 +294,8 @@ _SHARED_KEYS = ("neuron_regions", "neuron_depths", "region_ids",
                 "region_vocab", "eid", "nemo_rep")
 
 
-@dataclasses.dataclass
-class DataLoader:
+@dataclasses.dataclass(eq=False)  # identity eq/hash: loaders are stateful
+class DataLoader:                 # iterators and key device-data caches
     """Deterministic fixed-shape batch iterator over a prepared split."""
 
     arrays: Dict[str, np.ndarray]

@@ -62,7 +62,7 @@ class SessionData:
         return int(self.spikes.shape[2])
 
     def subset(self, idxs: Sequence[int]) -> "SessionData":
-        idxs = np.asarray(idxs)
+        idxs = np.asarray(idxs, dtype=np.int64)
         return dataclasses.replace(
             self,
             spikes=self.spikes[idxs],
@@ -229,46 +229,170 @@ def load_ibl_session(eid: str, cache_dir: Optional[str] = None,
     return SessionSplits(**splits)
 
 
+def _merge_session(parts: Sequence[SessionData]) -> SessionData:
+    """Concatenate same-session splits along the trial axis."""
+    first = parts[0]
+    return dataclasses.replace(
+        first,
+        spikes=np.concatenate([p.spikes for p in parts], axis=0),
+        behavior=np.concatenate([p.behavior for p in parts], axis=0),
+        choice=np.concatenate([p.choice for p in parts], axis=0),
+        block=np.concatenate([p.block for p in parts], axis=0),
+        reward=np.concatenate([p.reward for p in parts], axis=0),
+    )
+
+
+def _truncate_to_batch(sess: SessionData, batch_size: int) -> SessionData:
+    """Drop tail trials so the count is a batch-size multiple — load-bearing
+    for fixed-shape batching (parity: ``dataset_utils.py:262-272``)."""
+    n = sess.n_trials - sess.n_trials % batch_size
+    return sess.subset(range(n))
+
+
 def load_ibl_dataset(
     cache_dir: Optional[str],
     user_or_org_name: str = "neurofm123",
     eid: Optional[str] = None,
     num_sessions: int = 1,
     split_method: str = "predefined",
+    train_session_eid: Sequence[str] = (),
     test_session_eid: Sequence[str] = (),
+    split_size: float = 0.1,
+    mode: str = "train",
     batch_size: int = 16,
+    use_re: bool = False,
+    target_eids_path: str = "data/target_eids.txt",
+    test_re_eids_path: str = "data/test_re_eids.txt",
+    train_aligned: bool = True,
     seed: int = 42,
     eids: Optional[Sequence[str]] = None,
+    _load_session=None,
+    _list_datasets=None,
 ) -> Tuple[Optional[dict], Optional[dict], Optional[dict], dict]:
-    """Multi-session discovery + metadata, reference-API compatible.
+    """Multi-session assembly with the reference's full split machinery.
 
-    Returns ``(train, val, test, meta_data)`` where meta_data carries
-    ``num_neurons`` (per-eid list), ``num_sessions`` and ``eids`` — the keys
-    the reference trainer consumes (``dataset_utils.py:295-299``). Dataset
-    dicts map eid -> SessionSplits; sessions that fail to load are skipped
-    (parity with ``dataset_utils.py:282-285``).
+    Parity: ``/root/reference/src/utils/dataset_utils.py:160-320``. Covers
+    hub session discovery (``get_user_datasets``), the aligned/unaligned
+    name filter, ``use_re`` allow/deny eid filtering, per-split truncation
+    of trial counts to batch-size multiples (``predefined``), a seeded
+    ``random_split`` mode, the held-out-session ``session_based`` mode and
+    the eval-only mode (``mode="eval"``: loads only the test sessions).
+
+    Returns ``(train, val, test, meta_data)`` — always a 4-tuple, where
+    dataset dicts map eid -> SessionSplits (the reference returns bare HF
+    datasets with varying tuple arity per mode; sessions here stay keyed so
+    the stitched multi-session loader can bucket by neuron count).
+    ``meta_data`` carries ``num_neurons`` (per-eid list), ``num_sessions``
+    and ``eids`` — the keys the reference trainer consumes
+    (``dataset_utils.py:295-299``). Per-session load failures are skipped
+    (``dataset_utils.py:282-285``).
+
+    Deviations, documented: ``random_split`` shuffles and splits trials
+    *within* each session (dense same-N arrays replace the reference's
+    row-level HF concat; the statistical intent — a random trial-level
+    split instead of the hub's predefined one — is preserved), and both
+    ``random_split``/``session_based`` define the val split (val=test view)
+    where the reference's code paths raise NameError on return
+    (SURVEY.md §2.8 "known defects").
+
+    ``_load_session`` / ``_list_datasets`` are dependency-injection points
+    (tests drive all split methods offline against synthetic sessions).
     """
-    wanted = list(eids) if eids else ([eid] if eid else [])
-    train, val, test = {}, {}, {}
-    loaded_eids: List[str] = []
-    num_neurons: List[int] = []
-    for e in wanted[: num_sessions if num_sessions else None]:
-        try:
-            splits = load_ibl_session(e, cache_dir=cache_dir, org=user_or_org_name)
-        except Exception:  # per-session failures skipped, like the reference
-            continue
-        if split_method == "session_based" and e in set(test_session_eid):
-            test[e] = splits
-        else:
-            train[e] = splits
-            val[e] = splits
-        loaded_eids.append(e)
-        num_neurons.append(splits.n_neurons)
+    load_one = _load_session or (
+        lambda e: load_ibl_session(e, cache_dir=cache_dir,
+                                   org=user_or_org_name))
 
-    meta_data = {
-        "num_neurons": num_neurons,
-        "num_sessions": len(loaded_eids),
-        "eids": loaded_eids,
-        "eid_list": {e: n for e, n in zip(loaded_eids, num_neurons)},
-    }
-    return train or None, val or None, test or None, meta_data
+    # ---- session discovery -------------------------------------------
+    if eids:
+        wanted = list(eids)
+    elif eid is not None:
+        wanted = [eid]
+    elif train_session_eid:
+        wanted = list(train_session_eid)
+    else:  # hub discovery (get_user_datasets, dataset_utils.py:157-162)
+        if _list_datasets is not None:
+            ids = _list_datasets(user_or_org_name)
+        else:
+            from .dataset import get_user_datasets
+            ids = get_user_datasets(user_or_org_name)
+        ids = [d.split("/", 1)[1] if "/" in d else d for d in ids]
+        if train_aligned:
+            ids = [d for d in ids if "aligned" in d]
+        else:
+            ids = [d for d in ids if "aligned" not in d]
+        wanted = [d[: -len("_aligned")] if d.endswith("_aligned") else d
+                  for d in ids]
+
+    test_eids = [e for e in test_session_eid]
+    assert not (test_eids and split_method == "random_split"), (
+        "When you have a test session, the split method should be "
+        "'session_based'")
+    wanted = [e for e in wanted if e not in set(test_eids)]
+
+    if use_re:
+        from .dataset import read_eid_list
+        allow = set(read_eid_list(target_eids_path))
+        deny = set(read_eid_list(test_re_eids_path))
+        wanted = [e for e in wanted if e in allow and e not in deny]
+
+    n_train_sessions = (num_sessions - len(test_eids)
+                        if test_eids else num_sessions)
+    wanted = wanted[: n_train_sessions if n_train_sessions else None]
+
+    # ---- load --------------------------------------------------------
+    def load_many(eid_list):
+        out: Dict[str, SessionSplits] = {}
+        for e in eid_list:
+            try:
+                out[e] = load_one(e)
+            except Exception:  # skipped, like the reference
+                continue
+        return out
+
+    if mode == "eval":  # eval-only: test sessions only (:224-231)
+        test = load_many(test_eids)
+        meta = _session_meta(test)
+        return None, None, test or None, meta
+
+    loaded = load_many(wanted)
+    train: Dict[str, SessionSplits] = {}
+    val: Dict[str, SessionSplits] = {}
+    test: Dict[str, SessionSplits] = {}
+
+    if split_method == "predefined":
+        for e, s in loaded.items():
+            tr = _truncate_to_batch(s.train, batch_size)
+            va = _truncate_to_batch(s.val, batch_size)
+            te = _truncate_to_batch(s.test, batch_size)
+            sp = SessionSplits(train=tr, val=va, test=te)
+            train[e] = val[e] = test[e] = sp
+    elif split_method == "random_split":
+        rng = np.random.default_rng(seed)
+        for e, s in loaded.items():
+            whole = _merge_session([s.train, s.val, s.test])
+            perm = rng.permutation(whole.n_trials)
+            n_test = max(1, int(round(split_size * whole.n_trials)))
+            n_val = max(1, int(round(split_size * (whole.n_trials - n_test))))
+            te = whole.subset(perm[:n_test])
+            va = whole.subset(perm[n_test:n_test + n_val])
+            tr = whole.subset(perm[n_test + n_val:])
+            sp = SessionSplits(train=tr, val=va, test=te)
+            train[e] = val[e] = test[e] = sp
+    elif split_method == "session_based":
+        for e, s in loaded.items():
+            train[e] = val[e] = s
+        test = load_many(test_eids)
+    else:
+        raise ValueError(
+            "Invalid split method. Please choose 'predefined', "
+            "'random_split' or 'session_based'")
+
+    meta = _session_meta(loaded)
+    return train or None, val or None, test or None, meta
+
+
+def _session_meta(splits_by_eid: Dict[str, SessionSplits]) -> dict:
+    eids = list(splits_by_eid.keys())
+    nn = [s.n_neurons for s in splits_by_eid.values()]
+    return {"num_neurons": nn, "num_sessions": len(eids), "eids": eids,
+            "eid_list": {e: n for e, n in zip(eids, nn)}}

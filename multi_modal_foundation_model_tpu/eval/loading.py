@@ -108,7 +108,21 @@ def load_reference_checkpoint(
         if reference_src not in sys.path:
             sys.path.insert(0, reference_src)
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # Plain state_dict checkpoints need no unpickling of arbitrary code —
+    # load those with weights_only=True. Only the reference's whole-module
+    # pickle format (trainer/base.py:302-308) requires full unpickling;
+    # fall back to it with a warning so evaluating an untrusted .pt does
+    # not silently execute pickle payloads.
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+        warnings.warn(
+            f"{path} is not a plain-tensor checkpoint; falling back to "
+            "weights_only=False (full unpickling — only do this for "
+            "checkpoints you trust, e.g. the reference's whole-module "
+            "pickles)", stacklevel=2)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
     elif isinstance(obj, dict) and hasattr(obj.get("model"), "state_dict"):

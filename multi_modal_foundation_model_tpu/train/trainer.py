@@ -204,15 +204,18 @@ class MultiModalTrainer:
         'data' inside the step."""
         cache = getattr(self, "_device_data_cache", None)
         if cache is None:
-            cache = self._device_data_cache = {}
-        key = id(loader)
-        if key not in cache:
+            # keyed by the loader OBJECT (weakly): entries die with the
+            # loader, so a new loader reusing a freed id() can never pick
+            # up another loader's stale device arrays
+            import weakref
+            cache = self._device_data_cache = weakref.WeakKeyDictionary()
+        if loader not in cache:
             data = {k: jnp.asarray(loader.arrays[k]) for k in self._DR_KEYS}
             if self.mesh is not None:
                 from ..parallel import replicated_sharding
                 data = jax.device_put(data, replicated_sharding(self.mesh))
-            cache[key] = data
-        return cache[key]
+            cache[loader] = data
+        return cache[loader]
 
     def _gather_batch(self, data, idx, valid):
         """Device-side batch assembly: gather trials by index, zero the
@@ -710,13 +713,27 @@ class MultiModalTrainer:
                 params=tree["params"], opt_state=tree["opt_state"],
                 step=jnp.asarray(tree["step"]))
         except Exception:
-            # optimizer-state structure mismatch: e.g. a checkpoint saved
-            # before momentum cycling (plain optax.adamw state) resumed
-            # into an inject_hyperparams optimizer, or a converted
-            # reference checkpoint with params only. Restore params (+step
-            # when present) and keep the freshly initialized opt_state.
+            # Fall back ONLY for a genuine optimizer-state structure
+            # mismatch: e.g. a checkpoint saved before momentum cycling
+            # (plain optax.adamw state) resumed into an inject_hyperparams
+            # optimizer, or a converted reference checkpoint with params
+            # only. A corrupt/partially-written checkpoint or an I/O error
+            # must not be silently downgraded to a params-only resume.
             import warnings
+            # A corrupt/unreadable checkpoint fails this raw restore too
+            # and re-raises from here instead of being mislabeled.
             tree = restore_checkpoint(self.tcfg.log_dir, name)  # raw tree
+            # container-agnostic structure check (raw orbax trees come
+            # back as dicts where the target holds NamedTuples): identical
+            # leaf shapes mean the failure was NOT a structure mismatch
+            shapes = lambda t: sorted(
+                str(getattr(l, "shape", ())) for l in
+                jax.tree_util.tree_leaves(t))
+            same_opt = ("opt_state" in tree and
+                        shapes(tree["opt_state"])
+                        == shapes(target["opt_state"]))
+            if same_opt or "params" not in tree:
+                raise  # not a structure mismatch — surface the real error
             self.state = self.state.replace(params=tree["params"])
             if "step" in tree:
                 self.state = self.state.replace(

@@ -240,3 +240,126 @@ def test_make_loader_length_grouped_sampler():
     assert loader.sampler == "length_grouped"
     seen = np.concatenate([b["spikes_data"] for b in loader])
     assert seen.shape[0] == 24  # every trial appears exactly once
+
+
+# ---------------------------------------------------------------------------
+# load_ibl_dataset split machinery (offline, dependency-injected)
+# parity: /root/reference/src/utils/dataset_utils.py:160-320
+# ---------------------------------------------------------------------------
+
+def _fake_hub(n_sessions=4, n_trials=37, seed0=100):
+    """(load_session, list_datasets) pair over synthetic sessions."""
+    from multi_modal_foundation_model_tpu.data.session import synthetic_splits
+
+    eids = [f"eid{i:02d}" for i in range(n_sessions)]
+
+    def load_session(e):
+        i = eids.index(e)
+        return synthetic_splits(seed=seed0 + i, n_trials=n_trials,
+                                n_neurons=16 + 8 * i, n_timesteps=10)
+
+    def list_datasets(org):
+        ids = [f"{org}/{e}_aligned" for e in eids]
+        ids.append(f"{org}/{eids[0]}_unaligned")  # filtered by train_aligned
+        return ids
+
+    return eids, load_session, list_datasets
+
+
+def test_load_ibl_dataset_predefined_truncates_to_batch_multiples():
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=3)
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=2, split_method="predefined", batch_size=8,
+        _load_session=load_session, _list_datasets=list_datasets)
+    # hub discovery: first 2 aligned sessions, unaligned id filtered out
+    assert meta["eids"] == eids[:2]
+    assert meta["num_sessions"] == 2
+    assert meta["num_neurons"] == [16, 24]
+    for e in eids[:2]:
+        # 37 trials -> 80/10/10 synthetic split = 29/3/5 -> floor to x8
+        assert train[e].train.n_trials % 8 == 0
+        assert train[e].val.n_trials % 8 == 0
+        assert train[e].test.n_trials % 8 == 0
+        raw = load_session(e)
+        assert train[e].train.n_trials == raw.train.n_trials - raw.train.n_trials % 8
+
+
+def test_load_ibl_dataset_random_split_partitions_trials():
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=2, n_trials=40)
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=2, split_method="random_split", split_size=0.2,
+        seed=7, _load_session=load_session, _list_datasets=list_datasets)
+    for e in meta["eids"]:
+        sp = train[e]
+        total = sp.train.n_trials + sp.val.n_trials + sp.test.n_trials
+        assert total == 40  # all trials of the session, re-partitioned
+        assert sp.test.n_trials == 8  # 0.2 * 40
+        # deterministic in seed
+        train2, *_ = load_ibl_dataset(
+            None, num_sessions=2, split_method="random_split",
+            split_size=0.2, seed=7, _load_session=load_session,
+            _list_datasets=list_datasets)
+        np.testing.assert_array_equal(sp.test.spikes, train2[e].test.spikes)
+
+
+def test_load_ibl_dataset_session_based_and_eval_mode():
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=4)
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=4, split_method="session_based",
+        test_session_eid=[eids[3]],
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert eids[3] not in train and eids[3] in test
+    assert set(train) == set(eids[:3])
+
+    # eval mode: only the test sessions load
+    train, val, test, meta = load_ibl_dataset(
+        None, mode="eval", test_session_eid=[eids[1]],
+        split_method="session_based",
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert train is None and val is None
+    assert set(test) == {eids[1]}
+
+    # random_split + test sessions is rejected (reference assert)
+    import pytest
+    with pytest.raises(AssertionError):
+        load_ibl_dataset(None, split_method="random_split",
+                         test_session_eid=[eids[0]],
+                         _load_session=load_session,
+                         _list_datasets=list_datasets)
+
+
+def test_load_ibl_dataset_use_re_filter(tmp_path):
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=4)
+    allow = tmp_path / "target_eids.txt"
+    deny = tmp_path / "test_re_eids.txt"
+    allow.write_text("\n".join(eids[:3]) + "\n")
+    deny.write_text(eids[1] + "\n")
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=4, split_method="predefined", use_re=True,
+        target_eids_path=str(allow), test_re_eids_path=str(deny),
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert meta["eids"] == [eids[0], eids[2]]  # allow minus deny
+
+
+def test_load_ibl_dataset_skips_failing_sessions():
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=3)
+
+    def flaky(e):
+        if e == eids[1]:
+            raise IOError("hub down")
+        return load_session(e)
+
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=3, split_method="predefined",
+        _load_session=flaky, _list_datasets=list_datasets)
+    assert meta["eids"] == [eids[0], eids[2]]
