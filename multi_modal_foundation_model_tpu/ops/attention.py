@@ -303,6 +303,80 @@ _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
 # ---------------------------------------------------------------------------
+# tensor parallelism: shard_map over the 'model' axis (heads sharded)
+# ---------------------------------------------------------------------------
+#
+# The fused kernel is a custom call XLA's SPMD partitioner cannot split, but
+# its per-head independence makes the head split exact: under a mesh with a
+# >1 'model' axis, each device runs the kernel on its local n_heads/tp heads
+# of the already column-sharded q/k/v projections (Megatron pattern,
+# parallel/partition.py), producing the hidden-sharded output the
+# row-sharded out_proj consumes — zero resharding on either side.
+# Set with ``tp_attention(mesh)`` (the trainer does this around tracing).
+
+_TP_STATE: dict = {"mesh": None, "axis": "model"}
+
+
+def set_tp_mesh(mesh, axis: str = "model") -> None:
+    """Enable (mesh) / disable (None) TP sharding of the fused kernel."""
+    _TP_STATE["mesh"] = mesh
+    _TP_STATE["axis"] = axis
+
+
+class tp_attention:
+    """Context manager: fused-kernel TP over ``mesh``'s ``axis``."""
+
+    def __init__(self, mesh, axis: str = "model"):
+        self.mesh, self.axis = mesh, axis
+
+    def __enter__(self):
+        self.prev = dict(_TP_STATE)
+        set_tp_mesh(self.mesh, self.axis)
+
+    def __exit__(self, *exc):
+        _TP_STATE.update(self.prev)
+
+
+def _tp_mesh_axis(n_heads: int, hidden: int):
+    """(mesh, axis, tp) when TP applies to this call, else (None, None, 1)."""
+    mesh, axis = _TP_STATE["mesh"], _TP_STATE["axis"]
+    if mesh is None or axis not in mesh.shape:
+        return None, None, 1
+    tp = int(mesh.shape[axis])
+    if tp <= 1 or n_heads % tp or hidden % tp:
+        return None, None, 1
+    return mesh, axis, tp
+
+
+def _flash_mha_tp(q, k, v, key_pad, static, seed, scale, dropout_rate,
+                  n_heads, d_head, mesh, axis):
+    """shard_map the fused kernel: heads (the hidden dim) over ``axis``,
+    batch over 'data' when the mesh has it. Exact per shard — softmax and
+    output rows are head-local. Dropout draws are decorrelated across
+    shards by folding the axis index into the seed (the pattern differs
+    from the single-device kernel but is the same Bernoulli process)."""
+    from jax.sharding import PartitionSpec as P
+
+    tp = int(mesh.shape[axis])
+    n_local = n_heads // tp
+    data = "data" if "data" in mesh.shape else None
+
+    def body(q, k, v, key_pad, static, seed):
+        s = seed + jax.lax.axis_index(axis).astype(seed.dtype) * np.int32(
+            0x18D4F)
+        return _flash_mha(q, k, v, key_pad, static, s, scale, dropout_rate,
+                          n_local, d_head)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(data, None, axis), P(data, None, axis),
+                  P(data, None, axis), P(data, None, None), P(), P()),
+        out_specs=P(data, None, axis),
+        check_vma=False)
+    return fn(q, k, v, key_pad, static, seed)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -391,5 +465,9 @@ def multi_head_attention(
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
+    mesh, axis, tp = _tp_mesh_axis(n_heads, hidden)
+    if tp > 1:
+        return _flash_mha_tp(q, k, v, key_pad, static, seed, scale,
+                             float(dropout_rate), n_heads, D, mesh, axis)
     return _flash_mha(q, k, v, key_pad, static, seed, scale,
                       float(dropout_rate), n_heads, D)

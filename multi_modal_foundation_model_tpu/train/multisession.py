@@ -181,8 +181,8 @@ class MultiSessionTrainer(MultiModalTrainer):
                 loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), loss
 
-        self._train_steps[key] = step
-        return step
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
 
     def _get_eval_step_dr(self, training_mode, use_mtm):
         key = ("ms-dr", training_mode, use_mtm)
@@ -207,8 +207,8 @@ class MultiSessionTrainer(MultiModalTrainer):
                 rngs={"mask": k_mask})
             return out.loss, out.mod_preds, out.mod_targets
 
-        self._eval_steps[key] = step
-        return step
+        self._eval_steps[key] = self._tp_wrap(step)
+        return self._eval_steps[key]
 
     def _get_train_step(self, training_mode, use_mtm):
         key = ("ms", training_mode, use_mtm)
@@ -239,8 +239,8 @@ class MultiSessionTrainer(MultiModalTrainer):
                 loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), loss
 
-        self._train_steps[key] = step
-        return step
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
 
     def _get_eval_step(self, training_mode, use_mtm):
         key = ("ms", training_mode, use_mtm)
@@ -264,8 +264,8 @@ class MultiSessionTrainer(MultiModalTrainer):
                 rngs={"mask": k_mask})
             return out.loss, out.mod_preds, out.mod_targets
 
-        self._eval_steps[key] = step
-        return step
+        self._eval_steps[key] = self._tp_wrap(step)
+        return self._eval_steps[key]
 
     # ------------------------------------------------------------------
 

@@ -106,6 +106,24 @@ def _host_sample(rng: np.random.Generator, options: Sequence[str]) -> str:
     return options[int(rng.integers(len(options)))]
 
 
+def _with_tp(method):
+    """Run ``method`` under this trainer's TP-attention context: any jit
+    tracing inside picks up the shard_map-wrapped fused kernel when the
+    mesh has a >1 'model' axis (ops/attention.py)."""
+
+    def wrapper(self, *a, **kw):
+        mesh = getattr(self, "_tp_mesh", None)
+        if mesh is None:
+            return method(self, *a, **kw)
+        from ..ops.attention import tp_attention
+        with tp_attention(mesh):
+            return method(self, *a, **kw)
+
+    wrapper.__name__ = method.__name__
+    wrapper.__doc__ = method.__doc__
+    return wrapper
+
+
 class MultiModalTrainer:
     """Drives MultiModal training: MtM + mixed objectives, eval, checkpoints.
 
@@ -140,12 +158,12 @@ class MultiModalTrainer:
         self.num_neurons = list(num_neurons) if num_neurons else None
         self.mesh = mesh
         from ..parallel import model_axis_size
-        if (model_axis_size(mesh) > 1
-                and model.config.attn_impl == "pallas"):
-            raise ValueError(
-                "tensor parallelism ('model' mesh axis > 1) requires "
-                "attn_impl='xla': the fused Pallas attention is a custom "
-                "call XLA's SPMD partitioner cannot split")
+        # TP + the fused Pallas kernel compose via shard_map over the
+        # 'model' axis (heads sharded; ops/attention.py:_flash_mha_tp).
+        # The context is entered around every method that may trace.
+        self._tp_mesh = (mesh if (model_axis_size(mesh) > 1 and
+                                  model.config.attn_impl == "pallas")
+                         else None)
         self.logger = logger or MetricLogger(trainer_config.log_dir)
         self.metric = trainer_config.metric
 
@@ -233,6 +251,7 @@ class MultiModalTrainer:
                      for k, v in batch.items()}
         return batch
 
+    @_with_tp
     def _init_state(self) -> TrainState:
         batch = self._example_batch()
         mod_inputs = self._build_mod_inputs(batch, None)
@@ -247,6 +266,20 @@ class MultiModalTrainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
         return shard_tree(state, self.mesh)
+
+    def _tp_wrap(self, fn):
+        """Invoke ``fn`` inside this trainer's TP-attention context so (re)
+        tracing from ANY call site (epoch loops, dryruns, subclasses) picks
+        up the shard_map-wrapped fused kernel. No-op without a TP mesh."""
+        if getattr(self, "_tp_mesh", None) is None:
+            return fn
+        from ..ops.attention import tp_attention
+
+        def wrapped(*a, **kw):
+            with tp_attention(self._tp_mesh):
+                return fn(*a, **kw)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     # mod_dict construction (parity: trainer/base.py:51-103)
@@ -311,8 +344,8 @@ class MultiModalTrainer:
             new_state = state.apply_gradients(grads=grads)
             return new_state, loss
 
-        self._train_steps[key] = step
-        return step
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
 
     def _get_train_step_dr(self, training_mode: Optional[str],
                            use_mtm: bool):
@@ -345,8 +378,8 @@ class MultiModalTrainer:
                 loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), loss
 
-        self._train_steps[key] = step
-        return step
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
 
     def _run_scan_group(self, data, group):
         """Dispatch one lax.scan of len(group) optimizer steps. The
@@ -408,8 +441,8 @@ class MultiModalTrainer:
                                          (idxs, valids, schemes))
             return state, losses
 
-        self._train_steps[key] = multi_step
-        return multi_step
+        self._train_steps[key] = self._tp_wrap(multi_step)
+        return self._train_steps[key]
 
     def _get_eval_step_dr(self, training_mode: Optional[str], use_mtm: bool):
         key = ("dr", training_mode, use_mtm)
@@ -431,8 +464,8 @@ class MultiModalTrainer:
                 rngs={"mask": k_mask})
             return out.loss, out.mod_preds, out.mod_targets
 
-        self._eval_steps[key] = step
-        return step
+        self._eval_steps[key] = self._tp_wrap(step)
+        return self._eval_steps[key]
 
     def _get_eval_step(self, training_mode: Optional[str], use_mtm: bool):
         key = (training_mode, use_mtm)
@@ -453,8 +486,8 @@ class MultiModalTrainer:
                 rngs={"mask": k_mask})
             return out.loss, out.mod_preds, out.mod_targets
 
-        self._eval_steps[key] = step
-        return step
+        self._eval_steps[key] = self._tp_wrap(step)
+        return self._eval_steps[key]
 
     def _sample_modes(self) -> Tuple[Optional[str], Optional[int]]:
         """Per-batch (training_mode, scheme_id) — host-side like the

@@ -137,12 +137,76 @@ def test_tp_trainer_epoch_runs(tmp_path):
     assert leaf.sharding.spec == P(None, "model")
 
 
-def test_tp_rejects_pallas():
-    mesh = _mesh_2d()
+def test_tp_pallas_matches_single_device(tmp_path):
+    """The fused Pallas kernel composes with TP via shard_map over the
+    'model' axis (heads sharded — ops/attention.py:_flash_mha_tp): a
+    dp=2 x tp=2 step reproduces single-device loss and gradients. Runs the
+    kernel in interpret mode on the CPU mesh (dropout 0)."""
+    mesh = _mesh_2d(dp=2, tp=2)
+
+    def grads(mesh_arg, logdir):
+        train, val, _ = tiny_loaders(batch_size=16)
+        model = tiny_model(dropout=0.0, embed_dropout=0.0, n_heads=4,
+                           attn_impl="pallas")
+        tr = MultiModalTrainer(
+            model, train, val,
+            OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=1, log_dir=logdir, seed=0),
+            mesh=mesh_arg)
+        if mesh_arg is not None:
+            assert tr._tp_mesh is mesh_arg  # shard_map path engaged
+        batch = tr._device_batch(next(iter(tr.train_dataloader)))
+        key = jax.random.fold_in(tr.base_key, 0)
+        k_mask, _ = jax.random.split(key)
+
+        from multi_modal_foundation_model_tpu.ops.attention import \
+            tp_attention
+
+        def loss_fn(params):
+            out = tr.model.apply(
+                {"params": params}, tr._build_mod_inputs(batch, None),
+                training=False, rngs={"mask": k_mask})
+            return out.loss
+
+        with tp_attention(mesh_arg):
+            loss, g = jax.jit(jax.value_and_grad(loss_fn))(tr.state.params)
+        return float(loss), jax.device_get(g)
+
+    loss_s, g_s = grads(None, str(tmp_path / "s"))
+    loss_t, g_t = grads(mesh, str(tmp_path / "t"))
+    assert abs(loss_s - loss_t) < 1e-5 * max(1.0, abs(loss_s))
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_tp_pallas_trainer_epoch_runs(tmp_path):
+    """Full jitted trainer epoch with attn_impl='pallas' over dp=2 x tp=2
+    (dropout>0 falls back to the oracle inside the kernel dispatch on CPU,
+    but the TP context + sharded state path is exercised end to end)."""
+    mesh = _mesh_2d(dp=2, tp=2)
     train, val, _ = tiny_loaders(batch_size=16)
-    model = tiny_model(attn_impl="pallas")
-    with pytest.raises(ValueError, match="attn_impl"):
-        MultiModalTrainer(
-            model, train, val, OptimizerConfig(lr=1e-3),
-            TrainerConfig(num_epochs=1, log_dir="/tmp/tp_rej", seed=0),
-            mesh=mesh)
+    model = tiny_model(n_heads=4, attn_impl="pallas")
+    tr = MultiModalTrainer(
+        model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=1, log_dir=str(tmp_path), seed=0),
+        mesh=mesh)
+    assert tr._tp_mesh is mesh
+    metrics = tr.train()
+    assert np.isfinite(metrics["history"][-1]["train_loss"])
+    leaf = tr.state.params["encoder_0"]["attn"]["query"]["kernel"]
+    assert leaf.sharding.spec == P(None, "model")
+
+
+def test_tp_pallas_heads_not_divisible_falls_back():
+    """n_heads % tp != 0: the kernel runs unsharded (XLA handles the
+    custom call by replication) instead of crashing."""
+    from multi_modal_foundation_model_tpu.ops.attention import \
+        _tp_mesh_axis, tp_attention
+    mesh = _mesh_2d(dp=2, tp=4)
+    with tp_attention(mesh):
+        m, a, tp = _tp_mesh_axis(n_heads=2, hidden=32)
+        assert tp == 1 and m is None
+        m, a, tp = _tp_mesh_axis(n_heads=8, hidden=256)
+        assert tp == 4 and a == "model"
