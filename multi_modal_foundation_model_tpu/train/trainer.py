@@ -915,10 +915,24 @@ class BaselineTrainer:
                 f"eval_trial_avg_{self.metric}": res[self.metric],
                 "eval_gt": gt, "eval_preds": pr}
 
-    def train(self) -> Dict[str, Any]:
+    # identical checkpoint layout ({params, opt_state, step} + meta
+    # sidecar) -> the multimodal resume path applies verbatim
+    restore = MultiModalTrainer.restore
+
+    def train(self, start_epoch: int = 0) -> Dict[str, Any]:
+        """``start_epoch`` > 0 resumes a restored run (``restore('last')``
+        first); the best watermark is recovered from the model_best meta
+        sidecar — 2000-epoch baseline runs survive interruption just like
+        the multimodal trainer's (the reference has no resume at all)."""
         best_metric, best_epoch = -float("inf"), -1
+        if start_epoch:
+            from .checkpoint import load_checkpoint_meta
+            meta = load_checkpoint_meta(self.tcfg.log_dir, "best") or {}
+            if meta.get("metric") is not None:
+                best_metric = float(meta["metric"])
+                best_epoch = int(meta.get("epoch", -1))
         history = []
-        for epoch in range(self.tcfg.num_epochs):
+        for epoch in range(start_epoch, self.tcfg.num_epochs):
             train_res = self.train_epoch(epoch)
             eval_res = self.eval_epoch()
             row = {"epoch": epoch, "train_loss": train_res["train_loss"]}
@@ -937,6 +951,9 @@ class BaselineTrainer:
             if (self.tcfg.save_plot_every_n_epochs and eval_res
                     and epoch % self.tcfg.save_plot_every_n_epochs == 0):
                 self._plot_epoch(eval_res, epoch)
+            if (self.tcfg.save_every and epoch
+                    and epoch % self.tcfg.save_every == 0):
+                self.save_model("last", epoch=epoch)
         self.save_model("last", epoch=self.tcfg.num_epochs - 1)
         return {f"best_eval_trial_avg_{self.metric}": best_metric,
                 "best_epoch": best_epoch, "history": history}

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--direction", choices=["encoding", "decoding"],
                     default="decoding",
                     help="encoding: behavior->spikes; decoding: spikes->behavior")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore model_last from log_dir and continue")
     args = ap.parse_args()
     warn_unsupported(args, 'device_resident')
 
@@ -57,7 +59,7 @@ def main():
                                 out_channel=len(avail_beh))
 
     log_dir = log_dir_for(args.base_path, args.eid, modal_filter, "linear")
-    guard_overwrite(log_dir, args.overwrite)
+    guard_overwrite(log_dir, args.overwrite or args.resume)
 
     T = int(config.data.max_time_length)
     bs = int(config.training.train_batch_size)
@@ -78,7 +80,11 @@ def main():
     trainer = BaselineTrainer(model, train_loader, val_loader, ocfg, tcfg,
                               modal_filter=modal_filter,
                               mesh=build_mesh(args.dp, args.tp), logger=logger)
-    summary = trainer.train()
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.restore("last") + 1
+        print(f"resumed from epoch {start_epoch - 1}")
+    summary = trainer.train(start_epoch=start_epoch)
 
     # record what eval needs to rebuild the model
     os.makedirs(log_dir, exist_ok=True)

@@ -329,3 +329,39 @@ def test_checkpoint_resume_exact(tmp_path):
                     jax.tree_util.tree_leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_baseline_exact_resume(tmp_path):
+    """BaselineTrainer.restore + train(start_epoch): an interrupted run
+    resumed from model_last reproduces the uninterrupted run's params
+    exactly (VERDICT r2 Weak #6 — the multimodal trainer's resume,
+    mirrored for the 2000-epoch linear-baseline runs)."""
+    def make(logdir, epochs):
+        train, val, _ = tiny_loaders(n_neurons=16)
+        model = BaselineDecoder(in_channel=16, out_channel=2)
+        return BaselineTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=epochs, log_dir=logdir, seed=0,
+                          save_every=1),
+            modal_filter={"input": ["ap"], "output": ["behavior"]})
+
+    # uninterrupted 4-epoch run
+    tr_full = make(str(tmp_path / "full"), 4)
+    tr_full.train()
+    p_full = jax.device_get(tr_full.state.params)
+
+    # "killed" after 2 of 4 epochs (same schedule length!), then resumed
+    tr_a = make(str(tmp_path / "resume"), 4)
+    tr_a.train_epoch(0)
+    tr_a.train_epoch(1)
+    tr_a.save_model("last", epoch=1)
+    tr_b = make(str(tmp_path / "resume"), 4)
+    epoch = tr_b.restore("last")
+    assert epoch == 1
+    tr_b.train(start_epoch=epoch + 1)
+    p_res = jax.device_get(tr_b.state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
