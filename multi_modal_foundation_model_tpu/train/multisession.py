@@ -320,20 +320,66 @@ class MultiSessionTrainer(MultiModalTrainer):
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
 
+    def _get_multi_step_dr(self, training_mode, use_mtm):
+        """K optimizer steps per dispatch via lax.scan over one session's
+        index batches (mirrors the single-session ``_get_multi_step_dr``;
+        session_id is fixed per dispatch because sessions in different
+        neuron buckets have different padded shapes)."""
+        key = ("ms-dr-scan", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state, data, idxs, valids, schemes, session_id,
+                       base_key):
+            regions = table.select(session_id)
+
+            def body(st, xs):
+                idx, valid, scheme_id = xs
+                batch = self._gather_batch(data, idx, valid)
+                k = jax.random.fold_in(base_key, st.step)
+                k_mask, k_drop = jax.random.split(k)
+
+                def loss_fn(params):
+                    mod_inputs = self._build_mod_inputs(batch, training_mode)
+                    out = st.apply_fn(
+                        {"params": params}, mod_inputs,
+                        masking_mode=scheme_id if use_mtm else None,
+                        mtm_modes=mtm_modes, regions=regions, training=True,
+                        session_id=session_id,
+                        space_attn_mask=batch["space_attn_mask"],
+                        rngs={"mask": k_mask, "dropout": k_drop})
+                    return out.loss, out
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                return st.apply_gradients(grads=grads), loss
+
+            state, losses = jax.lax.scan(body, state,
+                                         (idxs, valids, schemes))
+            return state, losses
+
+        self._train_steps[key] = self._tp_wrap(multi_step)
+        return self._train_steps[key]
+
     def _train_epoch_dr(self, epoch: int):
         """Device-resident epoch: every session's split lives in HBM (one
         upload, cached across epochs); the host sends only (B,) index
         vectors. HBM budget is ~100 MB per 1k trials per session — for
-        hundreds of sessions use the streaming path instead."""
-        if self.tcfg.steps_per_dispatch > 1 and not getattr(
-                self, "_warned_spd", False):
-            import warnings
-            warnings.warn(
-                "steps_per_dispatch > 1 is implemented for the "
-                "single-session MultiModalTrainer only; the multi-session "
-                "device-resident path dispatches one step per call",
-                stacklevel=2)
-            self._warned_spd = True
+        hundreds of sessions use the streaming path instead.
+
+        ``steps_per_dispatch=K > 1`` scans K consecutive same-session
+        steps per dispatch: the epoch schedule interleaves sessions at
+        K-step-group granularity (sessions in different buckets cannot
+        share one scan), the mixed-training objective is sampled once per
+        group and MtM scheme ids remain per-step traced operands —
+        matching the single-session semantics (TrainerConfig)."""
+        K = max(1, self.tcfg.steps_per_dispatch)
+        if K > 1:
+            return self._train_epoch_dr_scan(epoch, K)
         iters = {}
         for e, loader in self.train_loaders.items():
             loader.set_epoch(epoch)
@@ -354,6 +400,56 @@ class MultiSessionTrainer(MultiModalTrainer):
         train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
+
+    def _train_epoch_dr_scan(self, epoch: int, K: int):
+        losses = []
+        groups = []  # (eid, [(idx, valid), ...K])
+        for e, loader in self.train_loaders.items():
+            loader.set_epoch(epoch)
+            batches = [(idx, valid)
+                       for idx, valid, _ in loader.iter_index_batches()]
+            for i in range(0, len(batches), K):
+                groups.append((e, batches[i:i + K]))
+        rng = np.random.default_rng((self.tcfg.seed, epoch, 7))
+        rng.shuffle(groups)
+        for eid, chunk in groups:
+            data = self._device_data(self.train_loaders[eid])
+            sid = jnp.asarray(self.eid_to_sid[eid], jnp.int32)
+            if len(chunk) < K:  # remainder: single-step program (avoids a
+                for idx, valid in chunk:   # fresh scan compile per length)
+                    training_mode, scheme_id = self._sample_modes()
+                    use_mtm = scheme_id is not None
+                    step = self._get_train_step_dr(training_mode, use_mtm)
+                    self.state, loss = step(
+                        self.state, data, jnp.asarray(idx),
+                        jnp.asarray(valid),
+                        jnp.asarray(scheme_id if use_mtm else 0, jnp.int32),
+                        sid, self.base_key)
+                    losses.append(jnp.atleast_1d(loss))
+                continue
+            from .trainer import TRAINING_SCHEMES, _host_sample
+            training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
+                             if self.mixed_training else None)
+            schemes = []
+            for _ in chunk:
+                if self.masking_schemes:
+                    s = _host_sample(self._host_rng, self.masking_schemes)
+                    schemes.append(self.masking_schemes.index(s))
+                else:
+                    schemes.append(0)
+            use_mtm = bool(self.masking_schemes)
+            mstep = self._get_multi_step_dr(training_mode, use_mtm)
+            idxs = jnp.asarray(np.stack([c[0] for c in chunk]))
+            valids = jnp.asarray(np.stack([c[1] for c in chunk]))
+            self.state, ls = mstep(self.state, data, idxs, valids,
+                                   jnp.asarray(schemes, jnp.int32), sid,
+                                   self.base_key)
+            losses.append(ls)
+        train_loss = (float(jnp.concatenate(losses).sum())
+                      if losses else 0.0)
+        n_steps = sum(len(l) for l in losses)
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(n_steps, 1)}
 
     def eval_epoch(self):
         """Per-session metric accumulation (reference keys session results
