@@ -212,16 +212,20 @@ def _rows_to_session(rows: Dict[str, list], eid: str,
 
 def load_ibl_session(eid: str, cache_dir: Optional[str] = None,
                      org: str = "neurofm123",
-                     target_names: Sequence[str] = DEFAULT_TARGETS) -> SessionSplits:
-    """Load one aligned IBL session (train/val/test) from the HF hub.
+                     target_names: Sequence[str] = DEFAULT_TARGETS,
+                     aligned: bool = True) -> SessionSplits:
+    """Load one IBL session (train/val/test) from the HF hub.
 
     Mirrors the reference entry-script path
-    (``src/train_multi_modal.py:110-113``). Requires network access to the
+    (``src/train_multi_modal.py:110-113``); ``aligned=False`` loads the
+    ``<eid>_unaligned`` chunked dataset the reference's unaligned eval
+    consumes (``eval_utils.py:1392-1459``). Requires network access to the
     hub or a warm ``cache_dir``.
     """
     from datasets import load_dataset  # lazy: heavy import, network-gated
 
-    ds = load_dataset(f"{org}/{eid}_aligned", cache_dir=cache_dir)
+    suffix = "aligned" if aligned else "unaligned"
+    ds = load_dataset(f"{org}/{eid}_{suffix}", cache_dir=cache_dir)
     splits = {}
     for split in ("train", "val", "test"):
         rows = ds[split][:]

@@ -89,10 +89,14 @@ def warn_unsupported(args, *flags: str) -> None:
 
 
 def get_session(args) -> SessionSplits:
+    unaligned = bool(getattr(args, "unaligned", False))
     if args.synthetic:
+        # synthetic "unaligned" sessions are the same generator; the
+        # unaligned distinction is in the eval path (no task-condition
+        # PSTHs — harness is_aligned=False)
         return synthetic_splits(seed=args.seed, n_trials=args.n_trials,
                                 n_neurons=args.n_neurons, eid=args.eid)
-    return load_ibl_session(args.eid)
+    return load_ibl_session(args.eid, aligned=not unaligned)
 
 
 def build_mesh(dp: int, tp: int = 1):

@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--n_time_steps", type=int, default=100)
     ap.add_argument("--save_plot", action="store_true",
                     help="per-neuron diagnostic figures (viz_single_cell layout)")
+    ap.add_argument("--unaligned", action="store_true",
+                    help="evaluate on the unaligned (chunked) session: "
+                         "loads <eid>_unaligned from the hub (IBL runs) and "
+                         "drives the harness's is_aligned=False path — "
+                         "plain R² instead of task-condition PSTHs, "
+                         "unaligned raster figures "
+                         "(reference eval_utils.py:1392-1459)")
     args = ap.parse_args()
     warn_unsupported(args, 'dp', 'tp', 'device_resident')
 
@@ -97,18 +104,21 @@ def main():
 
     results = {}
     for mode, kw in modes:
-        save_path = os.path.join(model_dir, "eval", mode)
+        sub = "eval_unaligned" if args.unaligned else "eval"
+        save_path = os.path.join(model_dir, sub, mode)
         res = co_smoothing_eval(
             model, params, test_loader, mode=mode, use_mtm=args.use_MtM,
             save_path=save_path, n_time_steps=T, save_plot=args.save_plot,
+            is_aligned=not args.unaligned,
             avail_beh=list(DEFAULT_TARGETS), **kw)
         results.update({k: (v if isinstance(v, dict) else float(v))
                         for k, v in res.items()})
         print(f"[{mode}]", json.dumps(results, default=float)[:400])
 
-    with open(os.path.join(model_dir, "eval", "results.json"), "w") as f:
+    sub = "eval_unaligned" if args.unaligned else "eval"
+    with open(os.path.join(model_dir, sub, "results.json"), "w") as f:
         json.dump(results, f, indent=1, default=float)
-    print("saved:", os.path.join(model_dir, "eval", "results.json"))
+    print("saved:", os.path.join(model_dir, sub, "results.json"))
 
 
 if __name__ == "__main__":

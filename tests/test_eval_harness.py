@@ -152,3 +152,37 @@ def test_modal_behavior_mode(trained, tmp_path):
     for beh in ("wheel-speed", "whisker-motion-energy"):
         assert np.isfinite(br[f"{beh}_r2_trial"])
         assert np.isfinite(br[f"{beh}_r2_psth"])
+
+
+def test_unaligned_eval_end_to_end(trained, tmp_path):
+    """The unaligned path (--unaligned on eval_multi_modal): is_aligned=
+    False through per_neuron + modal_behavior — plain trial R² (PSTH slot
+    NaN), unaligned raster figures on disk, artifact shapes intact
+    (reference drives this via its unaligned datasets,
+    eval_utils.py:1392-1459)."""
+    import glob
+    logdir, splits = trained
+    model, params, loader = load_model_data_local(
+        model_dir=logdir, test_session=splits.test,
+        max_time_length=T, max_space_length=N_NEURONS)
+
+    save_path = str(tmp_path / "ual_pn")
+    res = co_smoothing_eval(
+        model, params, loader, mode="per_neuron", is_aligned=False,
+        save_path=save_path, n_time_steps=T, save_plot=True, max_plots=2)
+    assert np.isfinite(res["per_neuron_mean_r2_trial"])
+    assert np.isnan(res["per_neuron_mean_r2_psth"])  # no PSTH unaligned
+    r2 = np.load(f"{save_path}/r2.npy")
+    assert r2.shape == (N_NEURONS, 2)
+    assert np.isnan(r2[:, 0]).all() and np.isfinite(r2[:, 1]).any()
+    figs = glob.glob(f"{save_path}/*.png")
+    assert len(figs) == 2  # unaligned raster figures
+
+    res = co_smoothing_eval(
+        model, params, loader, mode="modal_behavior", is_aligned=False,
+        save_path=str(tmp_path / "ual_mb"), n_time_steps=T,
+        held_out_list=list(range(T)))
+    br = res["modal_behavior_behav_results"]
+    for beh in ("wheel-speed", "whisker-motion-energy"):
+        assert np.isfinite(br[f"{beh}_r2_trial"])
+        assert np.isnan(br[f"{beh}_r2_psth"])
