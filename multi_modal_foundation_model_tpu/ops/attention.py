@@ -165,17 +165,24 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
 def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
                      g_ref, dq_ref, dk_ref, dv_ref, s_ref, d_ref,
                      *, scale: float, dropout_rate: float,
-                     n_heads: int, d_head: int):
+                     n_heads: int, d_head: int, dots_dtype=jnp.float32):
     """Head-stacked backward with VMEM scratch assembly (measured −29%/
     call): the s and dP=g@vᵀ dots write straight into two (GB, H*Tq, Tk)
     scratch buffers (no concat copies), the softmax recompute + ds math
-    runs once over the stack, and per-head dq/dk/dv dots slice it back."""
+    runs once over the stack, and per-head dq/dk/dv dots slice it back.
+
+    ``dots_dtype=bf16`` on hardware: TPU DEFAULT-precision f32 dots
+    already truncate operands to bf16 in the MXU, so explicit bf16
+    operands are bit-identical (measured err 0.0) while halving the
+    VMEM operand reads of all five dot classes — measured −10%/call
+    within-process. Interpret mode keeps f32 (CPU dots are true f32;
+    the cast would *lose* precision vs the oracle there)."""
     GB, Tq, _ = q_ref.shape
     Tk = k_ref.shape[1]
-    q = q_ref[...].astype(jnp.float32) * scale
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    g = g_ref[...].astype(jnp.float32)
+    q = (q_ref[...].astype(jnp.float32) * scale).astype(dots_dtype)
+    k = k_ref[...].astype(dots_dtype)
+    v = v_ref[...].astype(dots_dtype)
+    g = g_ref[...].astype(dots_dtype)
     bias = _kernel_bias(pad_ref, static_ref, GB, Tq, Tk)
     if dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -201,7 +208,9 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
         dpn = dpd * mscale
     else:
         pd, dpn = pn, dpd
-    ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+    ds = (pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+          ).astype(dots_dtype)
+    pd = pd.astype(dots_dtype)
     for h in range(n_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
         rows = slice(h * Tq, (h + 1) * Tq)
@@ -314,9 +323,10 @@ def _flash_mha_bwd(scale, dropout_rate, n_heads, d_head, res, g):
     gb = min(_bwd_block(Tq, Tk, hidden, n_heads, dropout_rate), B)
     qp, kp, vp, gp = (_pad_b(x, gb) for x in (q, k, v, g))
     pad_p = _pad_b(key_pad, gb)
-    kernel = functools.partial(_attn_bwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate, n_heads=n_heads,
-                               d_head=d_head)
+    kernel = functools.partial(
+        _attn_bwd_kernel, scale=scale, dropout_rate=dropout_rate,
+        n_heads=n_heads, d_head=d_head,
+        dots_dtype=jnp.float32 if _should_interpret() else jnp.bfloat16)
     blk_q = pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((gb, Tk, hidden), lambda i: (i, 0, 0),
