@@ -63,10 +63,14 @@ class MetricLogger:
 
 
 def _loggable(v) -> bool:
+    if isinstance(v, dict):
+        return all(_loggable(x) for x in v.values())
     return isinstance(v, (int, float, str, bool)) or hasattr(v, "item")
 
 
 def _scalar(v):
+    if isinstance(v, dict):
+        return {k: _scalar(x) for k, x in v.items()}
     if hasattr(v, "item") and not isinstance(v, (int, float, str, bool)):
         try:
             return v.item()

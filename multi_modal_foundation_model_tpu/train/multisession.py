@@ -32,7 +32,7 @@ import numpy as np
 
 from ..data.loader import DataLoader, make_loader
 from ..data.session import SessionSplits
-from ..eval.metrics import metrics_list
+from ..eval.metrics import bits_per_spike, metrics_list
 from ..ops.masking import RegionTable
 from .logging import MetricLogger
 from .schedule import OptimizerConfig
@@ -458,6 +458,7 @@ class MultiSessionTrainer(MultiModalTrainer):
         if not self.eval_loaders:
             return None
         losses, results_list = [], []
+        per_session: Dict[str, Dict[str, float]] = {}
         gt_all, preds_all = {}, {}
         eval_key = jax.random.fold_in(self.base_key, 10_000_000)
         for eid, loader in self.eval_loaders.items():
@@ -505,6 +506,7 @@ class MultiSessionTrainer(MultiModalTrainer):
                         acc[mod]["preds"].append((mod_preds[mod], n_real))
 
             gt_all[eid], preds_all[eid] = {}, {}
+            per_session[eid] = {}
             for mod in self.modal_filter["output"]:
                 _gt = np.concatenate(
                     [np.asarray(a)[:n] for a, n in acc[mod]["gt"]], axis=0)
@@ -517,8 +519,12 @@ class MultiSessionTrainer(MultiModalTrainer):
                     res = metrics_list(_gt[:, :, active].transpose(2, 1, 0),
                                        _pr[:, :, active].transpose(2, 1, 0),
                                        metrics=["r2"])
+                    per_session[eid]["ap_bps"] = bits_per_spike(_pr, _gt)
+                    per_session[eid]["ap_r2"] = res["r2"]
                 else:
                     res = metrics_list(_gt, _pr, metrics=[self.metric])
+                    per_session[eid][f"{mod}_{self.metric}"] = \
+                        res[self.metric]
                 gt_all[eid][mod], preds_all[eid][mod] = _gt, _pr
                 results_list.append(res[self.metric])
 
@@ -526,6 +532,7 @@ class MultiSessionTrainer(MultiModalTrainer):
         return {
             "eval_loss": eval_loss,
             f"eval_trial_avg_{self.metric}": float(np.nanmean(results_list)),
+            "eval_per_session": per_session,
             "eval_gt": gt_all,
             "eval_preds": preds_all,
         }

@@ -671,6 +671,8 @@ class MultiModalTrainer:
                 row["eval_loss"] = eval_res["eval_loss"]
                 row[f"eval_trial_avg_{self.metric}"] = (
                     eval_res[f"eval_trial_avg_{self.metric}"])
+                if "eval_per_session" in eval_res:
+                    row["eval_per_session"] = eval_res["eval_per_session"]
                 if eval_res[f"eval_trial_avg_{self.metric}"] > best_metric:
                     best_metric = eval_res[f"eval_trial_avg_{self.metric}"]
                     best_eval_loss = eval_res["eval_loss"]
@@ -940,6 +942,8 @@ class BaselineTrainer:
                 row["eval_loss"] = eval_res["eval_loss"]
                 row[f"eval_trial_avg_{self.metric}"] = (
                     eval_res[f"eval_trial_avg_{self.metric}"])
+                if "eval_per_session" in eval_res:
+                    row["eval_per_session"] = eval_res["eval_per_session"]
                 if eval_res[f"eval_trial_avg_{self.metric}"] > best_metric:
                     best_metric = eval_res[f"eval_trial_avg_{self.metric}"]
                     best_epoch = epoch

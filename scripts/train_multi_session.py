@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--mixed_training", action="store_true")
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--pad_multiple", type=int, default=128)
+    ap.add_argument("--eval_every", type=int, default=1,
+                    help="run eval every N epochs (per-session metric "
+                         "accumulation transfers gt/preds to host)")
+    ap.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="K-step lax.scan dispatch on the device-resident "
+                         "path")
     args = ap.parse_args()
 
     config = config_from_kwargs(
@@ -96,7 +102,9 @@ def main():
         mixed_training=args.mixed_training,
         save_every=int(config.training.save_every),
         seed=args.seed, log_dir=log_dir,
-        device_resident_data=args.device_resident)
+        device_resident_data=args.device_resident,
+        eval_every=args.eval_every,
+        steps_per_dispatch=args.steps_per_dispatch)
 
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),
@@ -104,6 +112,20 @@ def main():
         mesh=build_mesh(args.dp, args.tp), logger=MetricLogger(log_dir))
     summary = trainer.train()
     print("best:", {k: v for k, v in summary.items() if k != "history"})
+
+    import jax
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if "bytes_in_use" in stats:
+        print("hbm: %.2f GB in use / %.2f GB peak" % (
+            stats["bytes_in_use"] / 2**30,
+            stats.get("peak_bytes_in_use", 0) / 2**30))
+    else:
+        # memory_stats() is unavailable on some runtimes (e.g. the axon
+        # tunnel); fall back to the live-array footprint, which covers
+        # params + opt state + device-resident data but not step temps.
+        live = sum(getattr(a, "nbytes", 0) for a in jax.live_arrays())
+        print("hbm: %.2f GB live arrays (params+opt+data; excludes "
+              "step temporaries)" % (live / 2**30))
 
 
 if __name__ == "__main__":

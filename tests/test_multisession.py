@@ -163,6 +163,12 @@ def test_multisession_trainer_end_to_end(tmp_path):
     assert np.isfinite(res["best_eval_trial_avg_r2"])
     # exactly one compiled step per (objective, mtm) pair serves BOTH sessions
     assert len(tr._train_steps) <= 3
+    # per-session metric reporting: one entry per eid, finite bps + both r2s
+    ev = tr.eval_epoch()
+    assert set(ev["eval_per_session"]) == set(meta["eids"])
+    for m in ev["eval_per_session"].values():
+        assert set(m) == {"ap_bps", "ap_r2", "behavior_r2"}
+        assert all(np.isfinite(v) for v in m.values())
 
 
 def test_multisession_dp_mesh(tmp_path):
