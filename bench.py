@@ -12,11 +12,13 @@ extra keys carry the secondary measurements):
   regime (compute-bound, reproducible).
 - ``mfu``: model-FLOPs-utilization of that step — XLA cost-analysis FLOPs
   of the *compiled* train step divided by (step time x chip bf16 peak).
-- ``b16_seq_per_sec`` / ``b16_cv``: the reference-shape batch-16 number,
-  measured as a SINGLE dispatch of ``lax.scan`` over 50 training steps so
-  the tunneled backend's per-call dispatch latency (which made per-step
-  timing swing +-40%, RESULTS.md) cancels out; ``b16_cv`` is the
-  coefficient of variation over 5 scan repeats.
+- ``b16_seq_per_sec`` / ``b16_cv`` / ``b16_pass_drift``: the
+  reference-shape batch-16 number, measured as a SINGLE dispatch of
+  ``lax.scan`` over 50 training steps so the tunneled backend's per-call
+  dispatch latency (which made per-step timing swing +-40%, RESULTS.md)
+  cancels out; two 8-repeat passes separated by the other benchmark
+  workloads capture the minute-scale tunnel drift a single burst misses
+  (``b16_pass_drift`` = relative spread between the pass means).
 
 ``vs_baseline``: the reference publishes no throughput number. The
 documented envelope is 2000 epochs over one session within an 8 h SLURM
@@ -122,38 +124,58 @@ def bench_large_batch(B=256, T=100, N=668, n_steps=30):
     return B * n_steps / dt, mfu, flops
 
 
-def bench_reference_batch(B=16, T=100, N=668, scan_len=50, repeats=5):
+class ReferenceBatchBench:
     """Reference-shape (B=16) throughput via one lax.scan dispatch per
     measurement: per-call tunnel dispatch latency amortizes over
-    ``scan_len`` steps, de-noising the number (VERDICT.md Weak #4)."""
-    import jax
-    import jax.numpy as jnp
+    ``scan_len`` steps, de-noising the number (VERDICT.md r1 Weak #4).
 
-    state, train_step, spikes, behavior = _build(B, T, N)
+    Round-2 follow-up (VERDICT r2 Weak #4): successive *processes* drifted
+    ~6% while each reported CV <4% — tunnel/server state shifts on minute
+    timescales, so a single burst understates the true variance. The bench
+    therefore takes TWO measurement passes separated in time (before and
+    after the other benchmark workloads run) and reports the combined
+    mean/CV plus the pass-to-pass drift, which bounds what a re-run may
+    legitimately differ by."""
 
-    @jax.jit
-    def run_chunk(state, key):
-        def body(carry, i):
-            st, _ = train_step(carry, spikes, behavior, key)
-            return st, st.step
+    def __init__(self, B=16, T=100, N=668, scan_len=50, repeats=8):
+        import jax
+        import jax.numpy as jnp
 
-        state, steps = jax.lax.scan(body, state, jnp.arange(scan_len))
-        return state, steps[-1]
+        self.B, self.scan_len, self.repeats = B, scan_len, repeats
+        state, train_step, spikes, behavior = _build(B, T, N)
 
-    key = jax.random.PRNGKey(1)
-    state, last = run_chunk(state, key)          # compile + warm
-    last.block_until_ready()
+        @jax.jit
+        def run_chunk(state, key):
+            def body(carry, i):
+                st, _ = train_step(carry, spikes, behavior, key)
+                return st, st.step
 
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state, last = run_chunk(state, key)
+            state, steps = jax.lax.scan(body, state, jnp.arange(scan_len))
+            return state, steps[-1]
+
+        self._run = run_chunk
+        self._key = jax.random.PRNGKey(1)
+        self._state, last = run_chunk(state, self._key)   # compile + warm
         last.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times = np.array(times)
-    seq_per_sec = B * scan_len / times.mean()
-    cv = float(times.std() / times.mean())
-    return seq_per_sec, cv
+        self._times = []
+
+    def measure_pass(self):
+        marks = []
+        for _ in range(self.repeats):
+            t0 = time.perf_counter()
+            self._state, last = self._run(self._state, self._key)
+            last.block_until_ready()
+            marks.append(time.perf_counter() - t0)
+        self._times.append(np.array(marks))
+        return self.B * self.scan_len / np.mean(marks)
+
+    def report(self):
+        all_t = np.concatenate(self._times)
+        seq = self.B * self.scan_len / all_t.mean()
+        cv = float(all_t.std() / all_t.mean())
+        per_pass = [self.B * self.scan_len / t.mean() for t in self._times]
+        drift = (max(per_pass) - min(per_pass)) / np.mean(per_pass)
+        return seq, cv, float(drift)
 
 
 def bench_in_loop(B=256, T=100, N=668, n_trials=512, epochs=2):
@@ -194,8 +216,9 @@ def main():
     # draws per step (measured +18% step throughput from this switch)
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    b16 = ReferenceBatchBench()
+    b16.measure_pass()                 # pass 1 (fresh process)
     seq_per_sec, mfu, flops = bench_large_batch()
-    b16_seq, b16_cv = bench_reference_batch()
     try:
         in_loop = bench_in_loop()
     except Exception:      # secondary measurement; never fail the bench —
@@ -203,6 +226,8 @@ def main():
         print("bench_in_loop failed (reported as null):", file=sys.stderr)
         traceback.print_exc()
         in_loop = None
+    b16.measure_pass()                 # pass 2 (minutes later)
+    b16_seq, b16_cv, b16_drift = b16.report()
 
     print(json.dumps({
         "metric": "pretrain_sequences_per_sec_per_chip",
@@ -213,6 +238,7 @@ def main():
         "step_flops": flops,
         "b16_seq_per_sec": round(b16_seq, 2),
         "b16_cv": round(b16_cv, 4),
+        "b16_pass_drift": round(b16_drift, 4),
         "in_loop_seq_per_sec":
             round(in_loop, 2) if in_loop is not None else None,
     }))
