@@ -125,12 +125,73 @@ def walk_entry(hlo_text):
     return rows
 
 
+def _classify_event(name):
+    """Class for a trace event whose name is not an ENTRY instruction
+    (sub-computation ops, Mosaic kernel names, layout-assignment clones).
+    The 'XLA Ops' lane tiles the step with zero gaps, so attributing every
+    event keeps the time column summing to the true step time."""
+    base = re.sub(r"[.\d]+$", "", name)
+    if "attn" in base:
+        return "pallas attention custom-call"
+    if "rng" in base:
+        return "fusion:Loop (rng)"
+    if base.startswith(("copy", "slice", "dynamic-update-slice",
+                        "dynamic_update_slice", "bitcast", "reshape",
+                        "convert_element_type", "broadcast")):
+        return "copy"
+    if "convolution" in base or "dot" in base:
+        return "fusion:Output (matmul)"
+    if base.endswith("fusion") or base == "fusion":
+        return "fusion (sub/cloned)"
+    if base in ("reduce", "maximum_compare_fusion"):
+        return "fusion (sub/cloned)"
+    return "other"
+
+
+def _trace_op_times(trace_dir, n_steps, entry_names):
+    """Mean device time per step from a jax.profiler trace, split into
+    (a) exact joins onto ENTRY instruction names and (b) class-level
+    residuals for every other 'XLA Ops' event (ops inside called
+    computations carry kernel/clone names, not ENTRY names)."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}, {}
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    ev = d.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tids = {(e["pid"], e["tid"]) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("args", {}).get("name") == "XLA Ops"
+               and (e["pid"] in dev_pids or not dev_pids)}
+    times, extra = {}, {}
+    for e in ev:
+        if (e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids):
+            n, dur = e["name"], e.get("dur", 0.0)
+            if n in entry_names:
+                times[n] = times.get(n, 0.0) + dur
+            else:
+                c = _classify_event(n)
+                extra[c] = extra.get(c, 0.0) + dur
+    return ({n: t / n_steps for n, t in times.items()},
+            {c: t / n_steps for c, t in extra.items()})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--n_neurons", type=int, default=668)
     ap.add_argument("--top", type=int, default=12)
     ap.add_argument("--json_out", type=str, default=None)
+    ap.add_argument("--trace", action="store_true",
+                    help="also run 5 traced steps and join measured device "
+                         "time per op class -> implied HBM bandwidth")
     args = ap.parse_args()
 
     import os
@@ -158,29 +219,67 @@ def main():
     rows = walk_entry(hlo)
     total = sum(r["out_bytes"] + r["in_bytes"] for r in rows)
 
+    op_us, extra_us = {}, {}
+    if args.trace:
+        import tempfile
+
+        trace_dir = tempfile.mkdtemp(prefix="traffic_trace_")
+        n_tr = 5
+        for _ in range(3):                       # warm
+            state, loss = compiled(state, spikes, behavior, k)
+        loss.block_until_ready()
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_tr):
+                state, loss = compiled(state, spikes, behavior, k)
+            loss.block_until_ready()
+        op_us, extra_us = _trace_op_times(
+            trace_dir, n_tr, {r["name"] for r in rows})
+        for r in rows:
+            r["us"] = op_us.get(r["name"], 0.0)
+
     by_class = {}
     for r in rows:
         c = by_class.setdefault(r["class"],
-                                {"bytes": 0, "count": 0})
+                                {"bytes": 0, "count": 0, "us": 0.0})
         c["bytes"] += r["out_bytes"] + r["in_bytes"]
         c["count"] += 1
+        c["us"] += r.get("us", 0.0)
+    for cls, us in extra_us.items():
+        # time measured on sub-computation / kernel-named events that have
+        # no ENTRY bytes row — attribute the time, leave bytes untouched
+        c = by_class.setdefault(cls, {"bytes": 0, "count": 0, "us": 0.0})
+        c["us"] += us
 
     print(f"# HBM traffic table — train step B={args.batch_size} "
           f"N={args.n_neurons}")
     print(f"cost_analysis: {ca_flops/1e12:.3f} TFLOP, "
           f"{ca_bytes/2**30:.2f} GiB accessed")
     print(f"walked ENTRY total: {total/2**30:.2f} GiB "
-          f"({len(rows)} instructions)\n")
-    print(f"{'op class':<42}{'count':>6}{'GiB':>9}{'%':>7}")
+          f"({len(rows)} instructions)")
+    if op_us:
+        traced_us = sum(c["us"] for c in by_class.values())
+        matched = sum(1 for r in rows if r.get("us"))
+        print(f"traced device time: {traced_us/1e3:.2f} ms/step "
+              f"({matched}/{len(rows)} instructions matched)")
+    print()
+    hdr = f"{'op class':<42}{'count':>6}{'GiB':>9}{'%':>7}"
+    if op_us:
+        hdr += f"{'ms':>9}{'GB/s':>8}"
+    print(hdr)
     for cls, c in sorted(by_class.items(), key=lambda kv: -kv[1]["bytes"]):
-        print(f"{cls:<42}{c['count']:>6}{c['bytes']/2**30:>9.3f}"
-              f"{100*c['bytes']/total:>6.1f}%")
+        line = (f"{cls:<42}{c['count']:>6}{c['bytes']/2**30:>9.3f}"
+                f"{100*c['bytes']/total:>6.1f}%")
+        if op_us:
+            bw = (c["bytes"] / 2**30) / (c["us"] / 1e6) if c["us"] else 0.0
+            line += f"{c['us']/1e3:>9.3f}{bw:>8.0f}"
+        print(line)
 
     print(f"\ntop {args.top} single instructions by bytes:")
     for r in sorted(rows, key=lambda r: -(r["out_bytes"] + r["in_bytes"])
                     )[:args.top]:
         b = (r["out_bytes"] + r["in_bytes"]) / 2**20
-        print(f"  {b:9.1f} MiB  {r['class']:<30} {r['name'][:40]:<42} "
+        t = f" {r['us']:7.0f}us" if op_us else ""
+        print(f"  {b:9.1f} MiB{t}  {r['class']:<30} {r['name'][:38]:<40} "
               f"{r['shape']}")
 
     if args.json_out:
