@@ -50,6 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# backward kernel uses the forward's saved softmax row stats (LSE); False
+# recomputes them in-kernel (kept only for A/B benchmarking)
+_BWD_USE_SAVED_LSE = True
+
 
 class MaskSpec(NamedTuple):
     """attend(b, q, k) = static(q, k) OR key_pad(b, k).
@@ -117,14 +121,21 @@ def _kernel_bias(pad_ref, static_ref, GB: int, Tq: int, Tk: int):
 
 
 def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
-                     o_ref, *, scale: float, dropout_rate: float,
-                     n_heads: int, d_head: int):
+                     o_ref, ml_ref, *, scale: float,
+                     dropout_rate: float, n_heads: int, d_head: int):
     """Head-stacked forward (round-3 restructure, measured −10-16%/call):
     per-head score dots are concatenated along sublanes into ONE
     (GB, H*Tq, Tk) array so the softmax (max/exp/sum), bias add and
     dropout draw each run once over all heads instead of 8× in a Python
     loop; the scale folds into q (kills a score-shaped multiply). The
-    per-head p@v dots then slice tile-aligned row blocks back out."""
+    per-head p@v dots then slice tile-aligned row blocks back out.
+
+    The softmax log-sum-exp ``lse = m + log(l)`` is also written out as
+    row 0 of a small (GB, 8, H*Tq) f32 array (~13 MB at B=256; the 8-row
+    axis exists only to satisfy Mosaic's 8-sublane block tiling) so the
+    backward kernel recovers probabilities as one ``exp(s - lse)`` pass —
+    skipping its max-reduce, sum-reduce AND normalize passes over the
+    score stack (flash-attention LSE residual)."""
     GB, Tq, _ = q_ref.shape
     Tk = k_ref.shape[1]
     q = q_ref[...].astype(jnp.float32) * scale
@@ -147,6 +158,8 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    ml_ref[:, 0, :] = (m + jnp.log(l))[..., 0]
+    ml_ref[:, 1:, :] = jnp.zeros_like(ml_ref[:, 1:, :])   # tile padding
     if dropout_rate > 0.0:
         keep = _dropout_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
@@ -163,9 +176,10 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
 
 
 def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
-                     g_ref, dq_ref, dk_ref, dv_ref, s_ref, d_ref,
-                     *, scale: float, dropout_rate: float,
-                     n_heads: int, d_head: int, dots_dtype=jnp.float32):
+                     g_ref, ml_ref, dq_ref, dk_ref, dv_ref,
+                     s_ref, d_ref, *, scale: float, dropout_rate: float,
+                     n_heads: int, d_head: int, dots_dtype=jnp.float32,
+                     use_saved_lse: bool = True):
     """Head-stacked backward with VMEM scratch assembly (measured −29%/
     call): the s and dP=g@vᵀ dots write straight into two (GB, H*Tq, Tk)
     scratch buffers (no concat copies), the softmax recompute + ds math
@@ -197,10 +211,16 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
             preferred_element_type=jnp.float32)
     s = s_ref[...]
     dpd = d_ref[...]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    pn = e * pl.reciprocal(l, approx=False)
+    if use_saved_lse:
+        # one exp pass recovers the probabilities from the forward's LSE
+        # residual — skips the max-reduce, sum-reduce and normalize
+        # passes over the (GB, H*Tq, Tk) stack (measured −1.9 ms/step)
+        lse = ml_ref[:, 0, :][..., None]
+        pn = jnp.exp(s - lse)
+    else:                     # recompute (kept for A/B benchmarking)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        l = jnp.sum(jnp.exp(s - m), axis=-1, keepdims=True)
+        pn = jnp.exp(s - m) * pl.reciprocal(l, approx=False)
     if dropout_rate > 0.0:
         keep = _dropout_mask(pn.shape, dropout_rate)
         mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
@@ -268,11 +288,11 @@ def _specs(gb: int, tq: int, tk: int, hidden: int):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
-               n_heads, d_head):
-    """q: (B, Tq, H*D); k/v: (B, Tk, H*D); key_pad: (B, 1, Tk) int32;
-    static: (1, Tq, Tk) int32; seed: (1, 1) int32."""
+def _mha_impl(q, k, v, key_pad, static, seed, scale, dropout_rate,
+              n_heads, d_head):
+    """Forward pallas_call; returns (out, ml) with ml (B, 8, H*Tq) carrying
+    the softmax log-sum-exp ``m + log(l)`` in row 0 (rows 1-7 are Mosaic
+    tile padding) — the LSE residual the backward consumes."""
     B, Tq, hidden = q.shape
     Tk = k.shape[1]
     # with dropout the fwd/bwd grids MUST tile the batch axis identically
@@ -287,23 +307,37 @@ def _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
     kernel = functools.partial(_attn_fwd_kernel, scale=scale,
                                dropout_rate=dropout_rate, n_heads=n_heads,
                                d_head=d_head)
-    out = pl.pallas_call(
+    Bp = qp.shape[0]
+    blk_ml = pl.BlockSpec((gb, 8, n_heads * Tq), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out, ml = pl.pallas_call(
         kernel,
-        grid=(qp.shape[0] // gb,),
+        grid=(Bp // gb,),
         in_specs=_specs(gb, Tq, Tk, hidden),
-        out_specs=pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_specs=[pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), blk_ml],
+        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                   jax.ShapeDtypeStruct((Bp, 8, n_heads * Tq),
+                                        jnp.float32)],
         interpret=_should_interpret(),
     )(seed, qp, kp, vp, pad_p, static)
-    return out[:B]
+    return out[:B], ml[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
+               n_heads, d_head):
+    """q: (B, Tq, H*D); k/v: (B, Tk, H*D); key_pad: (B, 1, Tk) int32;
+    static: (1, Tq, Tk) int32; seed: (1, 1) int32."""
+    return _mha_impl(q, k, v, key_pad, static, seed, scale, dropout_rate,
+                     n_heads, d_head)[0]
 
 
 def _flash_mha_fwd(q, k, v, key_pad, static, seed, scale, dropout_rate,
                    n_heads, d_head):
-    out = _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
-                     n_heads, d_head)
-    return out, (q, k, v, key_pad, static, seed)
+    out, ml = _mha_impl(q, k, v, key_pad, static, seed, scale,
+                        dropout_rate, n_heads, d_head)
+    return out, (q, k, v, key_pad, static, seed, ml)
 
 
 def _bwd_block(Tq, Tk, hidden, n_heads, dropout_rate):
@@ -315,26 +349,30 @@ def _bwd_block(Tq, Tk, hidden, n_heads, dropout_rate):
 
 
 def _flash_mha_bwd(scale, dropout_rate, n_heads, d_head, res, g):
-    q, k, v, key_pad, static, seed = res
+    q, k, v, key_pad, static, seed, ml = res
     B, Tq, hidden = q.shape
     Tk = k.shape[1]
     # The dropout replay stays exact: one stacked draw per grid step, and
     # with dropout the fwd grid tiles the same batch axis (same gb).
     gb = min(_bwd_block(Tq, Tk, hidden, n_heads, dropout_rate), B)
     qp, kp, vp, gp = (_pad_b(x, gb) for x in (q, k, v, g))
+    mlp = _pad_b(ml, gb)
     pad_p = _pad_b(key_pad, gb)
     kernel = functools.partial(
         _attn_bwd_kernel, scale=scale, dropout_rate=dropout_rate,
         n_heads=n_heads, d_head=d_head,
-        dots_dtype=jnp.float32 if _should_interpret() else jnp.bfloat16)
+        dots_dtype=jnp.float32 if _should_interpret() else jnp.bfloat16,
+        use_saved_lse=_BWD_USE_SAVED_LSE)
     blk_q = pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((gb, Tk, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    blk_ml = pl.BlockSpec((gb, 8, n_heads * Tq), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(qp.shape[0] // gb,),
-        in_specs=_specs(gb, Tq, Tk, hidden) + [blk_q],
+        in_specs=_specs(gb, Tq, Tk, hidden) + [blk_q, blk_ml],
         out_specs=[blk_q, blk_k, blk_k],
         out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype),
                    jax.ShapeDtypeStruct(kp.shape, k.dtype),
@@ -342,7 +380,7 @@ def _flash_mha_bwd(scale, dropout_rate, n_heads, d_head, res, g):
         scratch_shapes=[pltpu.VMEM((gb, n_heads * Tq, Tk), jnp.float32),
                         pltpu.VMEM((gb, n_heads * Tq, Tk), jnp.float32)],
         interpret=_should_interpret(),
-    )(seed, qp, kp, vp, pad_p, static, gp)
+    )(seed, qp, kp, vp, pad_p, static, gp, mlp)
     zeros = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (dq[:B], dk[:B], dv[:B], zeros(key_pad), zeros(static),
             zeros(seed))
