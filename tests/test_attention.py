@@ -229,3 +229,32 @@ def test_maskspec_dropout_custom_vjp_runs(qkv):
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_saved_lse_matches_recompute(qkv):
+    """The backward's saved-LSE path (exp(s - lse) from the forward's
+    sidecar) must match the in-kernel softmax recompute to f32 rounding;
+    guards the _BWD_USE_SAVED_LSE A/B flag against rot. On hardware the
+    two were additionally measured grad-equal to ~1e-3 relative — 10x
+    below the shared bf16-MXU truncation error vs the oracle
+    (RESULTS.md round 3)."""
+    import multi_modal_foundation_model_tpu.ops.attention as attention
+    q, k, v = qkv
+    pad = jnp.ones((B, T), jnp.int32).at[:, T - 3:].set(0)
+    spec = attention.MaskSpec(key_pad=pad)
+
+    def loss(q, k, v):
+        return jnp.sum(multi_head_attention(
+            q, k, v, HEADS, mask_spec=spec, impl="pallas") ** 2)
+
+    grads = {}
+    saved_flag = attention._BWD_USE_SAVED_LSE
+    try:
+        for saved in (True, False):
+            attention._BWD_USE_SAVED_LSE = saved
+            grads[saved] = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        attention._BWD_USE_SAVED_LSE = saved_flag
+    for a, b in zip(grads[True], grads[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
