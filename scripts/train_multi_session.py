@@ -13,7 +13,7 @@ import json
 import os
 
 from _common import (add_common_args, apply_config_overrides, build_mesh,
-                     log_dir_for)
+                     guard_overwrite, log_dir_for)
 
 from multi_modal_foundation_model_tpu.config import (config_from_kwargs,
                                                      default_config_path,
@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="K-step lax.scan dispatch on the device-resident "
                          "path")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore model_last from log_dir and continue")
     args = ap.parse_args()
 
     config = config_from_kwargs(
@@ -82,6 +84,7 @@ def main():
     modal_filter = {"input": ["ap", "behavior"], "output": ["ap", "behavior"]}
     log_dir = log_dir_for(args.base_path, f"multi{len(sessions)}",
                           modal_filter, f"stitched_ratio-{args.mask_ratio}")
+    guard_overwrite(log_dir, args.overwrite or args.resume)
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, "sessions.json"), "w") as f:
         json.dump({"eids": meta["eids"], "num_neurons": meta["num_neurons"],
@@ -110,7 +113,11 @@ def main():
         model, train, val, OptimizerConfig.from_config(config.optimizer),
         tcfg, region_table=table, eid_to_sid=meta["eid_to_sid"],
         mesh=build_mesh(args.dp, args.tp), logger=MetricLogger(log_dir))
-    summary = trainer.train()
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.restore("last") + 1
+        print(f"resumed from epoch {start_epoch - 1}")
+    summary = trainer.train(start_epoch=start_epoch)
     print("best:", {k: v for k, v in summary.items() if k != "history"})
 
     import jax

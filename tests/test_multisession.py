@@ -226,3 +226,43 @@ def test_multisession_steps_per_dispatch_scan(tmp_path):
     # deterministic (seed, epoch) shuffle fixes per path; so compare loss
     # sums instead of params across the two shuffles
     assert np.isfinite(out1["train_loss"])
+
+
+def test_multisession_exact_resume(tmp_path):
+    """MultiSessionTrainer inherits restore/train(start_epoch): training 2
+    epochs straight equals train 1 -> checkpoint -> fresh trainer ->
+    restore -> train 1 more, stitched per-session params included
+    (scripts/train_multi_session.py --resume drives this path)."""
+
+    def make(logdir):
+        sessions = sessions_fixture()
+        train, val, _, meta = build_multisession_loaders(
+            sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+        table = RegionTable.build(meta["per_session_region_ids"],
+                                  region_vocab=meta["region_vocab"])
+        model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]),
+                               dropout=0.0, embed_dropout=0.0)
+        return MultiSessionTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=2, log_dir=logdir, seed=0,
+                          eval_every=10**9),
+            region_table=table, eid_to_sid=meta["eid_to_sid"])
+
+    tr_a = make(str(tmp_path / "a"))
+    tr_a.train_epoch(0)
+    tr_a.train_epoch(1)
+    p_straight = jax.device_get(tr_a.state.params)
+
+    tr_b = make(str(tmp_path / "b"))
+    tr_b.train_epoch(0)
+    tr_b.save_model("last", epoch=0)
+    tr_c = make(str(tmp_path / "b"))
+    assert tr_c.restore("last") == 0
+    assert int(tr_c.state.step) == int(tr_b.state.step)
+    tr_c.train_epoch(1)
+    p_resumed = jax.device_get(tr_c.state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_straight),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
