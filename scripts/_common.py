@@ -26,6 +26,16 @@ if os.environ.get("MMFM_PLATFORM"):
 jax.config.update("jax_default_prng_impl",
                   os.environ.get("MMFM_PRNG", "rbg"))
 
+# persistent compilation cache: TPU compiles cost 20-275 s through remote
+# backends, and the entry scripts recompile identical steps on every
+# invocation without this. MMFM_COMPILE_CACHE= (empty) disables.
+_cache_dir = os.environ.get("MMFM_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/mmfm_jax"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from multi_modal_foundation_model_tpu.data.session import (  # noqa: E402
     SessionSplits, load_ibl_session, synthetic_splits)
 
