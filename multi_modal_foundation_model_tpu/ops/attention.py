@@ -54,6 +54,14 @@ NEG_INF = -1e30
 # recomputes them in-kernel (kept only for A/B benchmarking)
 _BWD_USE_SAVED_LSE = True
 
+# True: sidecar stores m (row 0) and log(l) (row 1) separately — exact on
+# fully-masked rows but one extra stat relayout per kernel (measured
+# +1.9 ms/step vs recompute). False (default): single clamped-fold row
+# ``max(m, _LSE_FLOOR) + log(l)`` — fast path; fully-masked rows get
+# pn = 0, i.e. ZERO gradient through them (see _attn_fwd_kernel).
+_LSE_SPLIT = False
+_LSE_FLOOR = -1e6
+
 
 class MaskSpec(NamedTuple):
     """attend(b, q, k) = static(q, k) OR key_pad(b, k).
@@ -121,7 +129,7 @@ def _kernel_bias(pad_ref, static_ref, GB: int, Tq: int, Tk: int):
 
 
 def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
-                     o_ref, ml_ref, *, scale: float,
+                     o_ref, ml_ref=None, *, scale: float,
                      dropout_rate: float, n_heads: int, d_head: int):
     """Head-stacked forward (round-3 restructure, measured −10-16%/call):
     per-head score dots are concatenated along sublanes into ONE
@@ -130,12 +138,25 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     loop; the scale folds into q (kills a score-shaped multiply). The
     per-head p@v dots then slice tile-aligned row blocks back out.
 
-    The softmax log-sum-exp ``lse = m + log(l)`` is also written out as
-    row 0 of a small (GB, 8, H*Tq) f32 array (~13 MB at B=256; the 8-row
-    axis exists only to satisfy Mosaic's 8-sublane block tiling) so the
-    backward kernel recovers probabilities as one ``exp(s - lse)`` pass —
-    skipping its max-reduce, sum-reduce AND normalize passes over the
-    score stack (flash-attention LSE residual)."""
+    When differentiated (``ml_ref`` present — the VJP forward only; the
+    primal/eval forward skips the output entirely), the softmax row
+    stats are written to a small (GB, 8, H*Tq) f32 sidecar (~13 MB at
+    B=256; the 8-row axis satisfies Mosaic's 8-sublane block tiling) so
+    the backward recovers probabilities in one exp pass — skipping its
+    max-reduce, sum-reduce AND normalize passes over the score stack
+    (flash-attention LSE residual, measured −1.55 ms/step). Default
+    layout: ONE row holding ``max(m, _LSE_FLOOR) + log(l)``. The clamp
+    exists because a raw ``m + log(l)`` is absorbed to ``m`` in f32 on
+    fully-masked rows (m = NEG_INF, ulp ~1e23 swallows log(Tk)), which
+    would silently turn their uniform 1/Tk backward probabilities into
+    1 — a Tk-fold gradient error. With the clamp those rows instead get
+    ``exp(s - lse) = exp(NEG_INF - _LSE_FLOOR) = 0``: fully-masked rows
+    contribute ZERO gradient (their forward stays uniform and their
+    loss weight is zero in this model anyway; zero is the safe contract
+    for any other caller — no gradient flows into padded positions).
+    ``_LSE_SPLIT`` stores m and log(l) in separate rows instead —
+    exact 1/Tk backward on fully-masked rows, but the extra stat's
+    lane->sublane relayout measured +1.9 ms/step; kept for A/B."""
     GB, Tq, _ = q_ref.shape
     Tk = k_ref.shape[1]
     q = q_ref[...].astype(jnp.float32) * scale
@@ -158,8 +179,15 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    ml_ref[:, 0, :] = (m + jnp.log(l))[..., 0]
-    ml_ref[:, 1:, :] = jnp.zeros_like(ml_ref[:, 1:, :])   # tile padding
+    if ml_ref is not None:
+        if _LSE_SPLIT:
+            ml_ref[:, 0, :] = m[..., 0]
+            ml_ref[:, 1, :] = jnp.log(l)[..., 0]
+            ml_ref[:, 2:, :] = jnp.zeros_like(ml_ref[:, 2:, :])
+        else:
+            lse = jnp.maximum(m, _LSE_FLOOR) + jnp.log(l)
+            ml_ref[:, 0, :] = lse[..., 0]
+            ml_ref[:, 1:, :] = jnp.zeros_like(ml_ref[:, 1:, :])
     if dropout_rate > 0.0:
         keep = _dropout_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
@@ -212,11 +240,16 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     s = s_ref[...]
     dpd = d_ref[...]
     if use_saved_lse:
-        # one exp pass recovers the probabilities from the forward's LSE
-        # residual — skips the max-reduce, sum-reduce and normalize
-        # passes over the (GB, H*Tq, Tk) stack (measured −1.9 ms/step)
-        lse = ml_ref[:, 0, :][..., None]
-        pn = jnp.exp(s - lse)
+        # one exp pass recovers the probabilities from the forward's
+        # saved row stats — skips the max-reduce, sum-reduce and
+        # normalize passes over the (GB, H*Tq, Tk) stack (measured
+        # −1.55 ms/step). See _attn_fwd_kernel: the default clamped
+        # fold makes fully-masked rows come back as pn = 0 (zero grad).
+        if _LSE_SPLIT:
+            pn = jnp.exp((s - ml_ref[:, 0, :][..., None])
+                         - ml_ref[:, 1, :][..., None])
+        else:
+            pn = jnp.exp(s - ml_ref[:, 0, :][..., None])
     else:                     # recompute (kept for A/B benchmarking)
         m = jnp.max(s, axis=-1, keepdims=True)
         l = jnp.sum(jnp.exp(s - m), axis=-1, keepdims=True)
@@ -289,10 +322,12 @@ def _specs(gb: int, tq: int, tk: int, hidden: int):
 
 
 def _mha_impl(q, k, v, key_pad, static, seed, scale, dropout_rate,
-              n_heads, d_head):
-    """Forward pallas_call; returns (out, ml) with ml (B, 8, H*Tq) carrying
-    the softmax log-sum-exp ``m + log(l)`` in row 0 (rows 1-7 are Mosaic
-    tile padding) — the LSE residual the backward consumes."""
+              n_heads, d_head, with_lse):
+    """Forward pallas_call. With ``with_lse`` (the VJP forward) also
+    returns ml (B, 8, H*Tq) carrying the softmax row max (row 0) and
+    ``log(l)`` (row 1; rows 2-7 are Mosaic tile padding) — the residual
+    the backward consumes. The primal/eval forward passes False and pays
+    no sidecar write (a pallas output cannot be DCE'd by XLA)."""
     B, Tq, hidden = q.shape
     Tk = k.shape[1]
     # with dropout the fwd/bwd grids MUST tile the batch axis identically
@@ -308,20 +343,27 @@ def _mha_impl(q, k, v, key_pad, static, seed, scale, dropout_rate,
                                dropout_rate=dropout_rate, n_heads=n_heads,
                                d_head=d_head)
     Bp = qp.shape[0]
+    blk_o = pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     blk_ml = pl.BlockSpec((gb, 8, n_heads * Tq), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    out, ml = pl.pallas_call(
+    out_specs = [blk_o, blk_ml] if with_lse else [blk_o]
+    out_shape = [jax.ShapeDtypeStruct(qp.shape, q.dtype)]
+    if with_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((Bp, 8, n_heads * Tq), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(Bp // gb,),
         in_specs=_specs(gb, Tq, Tk, hidden),
-        out_specs=[pl.BlockSpec((gb, Tq, hidden), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM), blk_ml],
-        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype),
-                   jax.ShapeDtypeStruct((Bp, 8, n_heads * Tq),
-                                        jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_should_interpret(),
     )(seed, qp, kp, vp, pad_p, static)
-    return out[:B], ml[:B]
+    if with_lse:
+        out, ml = res
+        return out[:B], ml[:B]
+    return res[0][:B], None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -330,13 +372,13 @@ def _flash_mha(q, k, v, key_pad, static, seed, scale, dropout_rate,
     """q: (B, Tq, H*D); k/v: (B, Tk, H*D); key_pad: (B, 1, Tk) int32;
     static: (1, Tq, Tk) int32; seed: (1, 1) int32."""
     return _mha_impl(q, k, v, key_pad, static, seed, scale, dropout_rate,
-                     n_heads, d_head)[0]
+                     n_heads, d_head, with_lse=False)[0]
 
 
 def _flash_mha_fwd(q, k, v, key_pad, static, seed, scale, dropout_rate,
                    n_heads, d_head):
     out, ml = _mha_impl(q, k, v, key_pad, static, seed, scale,
-                        dropout_rate, n_heads, d_head)
+                        dropout_rate, n_heads, d_head, with_lse=True)
     return out, (q, k, v, key_pad, static, seed, ml)
 
 

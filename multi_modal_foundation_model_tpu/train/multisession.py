@@ -282,6 +282,7 @@ class MultiSessionTrainer(MultiModalTrainer):
     def train_epoch(self, epoch: int):
         from ..data.prefetch import DevicePrefetcher
 
+        self._reseed_host_rng(epoch)   # trajectory-exact resume (trainer.py)
         if self.tcfg.device_resident_data:
             return self._train_epoch_dr(epoch)
 
@@ -457,6 +458,7 @@ class MultiSessionTrainer(MultiModalTrainer):
         analog)."""
         if not self.eval_loaders:
             return None
+        self._reseed_host_rng(0, tag=1)   # fixed eval stream (trainer.py)
         losses, results_list = [], []
         per_session: Dict[str, Dict[str, float]] = {}
         gt_all, preds_all = {}, {}

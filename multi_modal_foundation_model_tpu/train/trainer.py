@@ -489,6 +489,15 @@ class MultiModalTrainer:
         self._eval_steps[key] = self._tp_wrap(step)
         return self._eval_steps[key]
 
+    def _reseed_host_rng(self, epoch: int, tag: int = 0) -> None:
+        """Host-side mode/scheme sampling is a pure function of
+        (seed, epoch): a run resumed at epoch k draws exactly the stream
+        the uninterrupted run would have drawn at epoch k, so ``--resume``
+        is trajectory-exact under MtM / mixed training too (the device
+        RNG already folds (seed, step)). ``tag`` separates the train and
+        eval streams."""
+        self._host_rng = np.random.default_rng((self.tcfg.seed, epoch, tag))
+
     def _sample_modes(self) -> Tuple[Optional[str], Optional[int]]:
         """Per-batch (training_mode, scheme_id) — host-side like the
         reference, but from the trainer's seeded generator."""
@@ -506,6 +515,7 @@ class MultiModalTrainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_dataloader.set_epoch(epoch)
+        self._reseed_host_rng(epoch)
         losses = []
         if self.tcfg.device_resident_data:
             data = self._device_data(self.train_dataloader)
@@ -568,6 +578,9 @@ class MultiModalTrainer:
         most-active-neuron R² for 'ap', full R² for behavior."""
         if self.eval_dataloader is None:
             return None
+        # fixed eval stream: every eval epoch draws the same mode/scheme
+        # sequence (comparable metrics across epochs, resume-invariant)
+        self._reseed_host_rng(0, tag=1)
         losses = []
         acc: Dict[str, Dict[str, list]] = {
             mod: {"gt": [], "preds": []} for mod in self.modal_filter["output"]}

@@ -233,14 +233,21 @@ def test_maskspec_dropout_custom_vjp_runs(qkv):
 
 def test_saved_lse_matches_recompute(qkv):
     """The backward's saved-LSE path (exp(s - lse) from the forward's
-    sidecar) must match the in-kernel softmax recompute to f32 rounding;
-    guards the _BWD_USE_SAVED_LSE A/B flag against rot. On hardware the
-    two were additionally measured grad-equal to ~1e-3 relative — 10x
-    below the shared bf16-MXU truncation error vs the oracle
-    (RESULTS.md round 3)."""
+    sidecar) must match the in-kernel softmax recompute to f32 rounding
+    on every row with at least one attendable key; guards the
+    _BWD_USE_SAVED_LSE A/B flag against rot. On hardware the two were
+    additionally measured grad-equal to ~1e-3 relative — 10x below the
+    shared bf16-MXU truncation error vs the oracle (RESULTS.md round 3).
+
+    Batch element 0 has ALL keys masked: the clamped-fold sidecar
+    (``max(m, _LSE_FLOOR) + log(l)``) makes such rows contribute ZERO
+    gradient through the saved path (a raw m+log(l) fold would be
+    absorbed to m in f32 and silently give them probability 1 — a
+    Tk-fold gradient error; the recompute path gives the uniform 1/Tk
+    flow, which leaks gradient into fully-padded positions)."""
     import multi_modal_foundation_model_tpu.ops.attention as attention
     q, k, v = qkv
-    pad = jnp.ones((B, T), jnp.int32).at[:, T - 3:].set(0)
+    pad = jnp.ones((B, T), jnp.int32).at[:, T - 3:].set(0).at[0, :].set(0)
     spec = attention.MaskSpec(key_pad=pad)
 
     def loss(q, k, v):
@@ -256,5 +263,9 @@ def test_saved_lse_matches_recompute(qkv):
     finally:
         attention._BWD_USE_SAVED_LSE = saved_flag
     for a, b in zip(grads[True], grads[False]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        # rows with attendable keys: identical to f32 rounding
+        np.testing.assert_allclose(np.asarray(a)[1:], np.asarray(b)[1:],
                                    rtol=1e-4, atol=1e-5)
+        # fully-masked batch element: zero gradient through the saved path
+        np.testing.assert_array_equal(np.asarray(a)[0],
+                                      np.zeros_like(np.asarray(a)[0]))

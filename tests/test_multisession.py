@@ -232,7 +232,12 @@ def test_multisession_exact_resume(tmp_path):
     """MultiSessionTrainer inherits restore/train(start_epoch): training 2
     epochs straight equals train 1 -> checkpoint -> fresh trainer ->
     restore -> train 1 more, stitched per-session params included
-    (scripts/train_multi_session.py --resume drives this path)."""
+    (scripts/train_multi_session.py --resume drives this path).
+
+    Runs with MtM + mixed training live so the host-side mode/scheme
+    sampler is exercised: it is reseeded per epoch from (seed, epoch)
+    (trainer._reseed_host_rng), which is what makes the resumed segment
+    draw the exact stream the uninterrupted run drew at that epoch."""
 
     def make(logdir):
         sessions = sessions_fixture()
@@ -245,7 +250,9 @@ def test_multisession_exact_resume(tmp_path):
         return MultiSessionTrainer(
             model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
             TrainerConfig(num_epochs=2, log_dir=logdir, seed=0,
-                          eval_every=10**9),
+                          eval_every=10**9, mask_type="input",
+                          mask_mode=("temporal", "neuron"),
+                          mixed_training=True),
             region_table=table, eid_to_sid=meta["eid_to_sid"])
 
     tr_a = make(str(tmp_path / "a"))
