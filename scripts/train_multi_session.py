@@ -63,7 +63,11 @@ def main():
         config.training["train_batch_size"] = args.batch_size
 
     if args.synthetic or not args.eids:
-        rng_neurons = [args.n_neurons + 37 * i for i in range(args.num_sessions)]
+        # cycle of 10 neuron widths (IBL-like spread without n_max growing
+        # linearly in session count; identical to the old linear formula
+        # for num_sessions <= 10)
+        rng_neurons = [args.n_neurons + 37 * (i % 10)
+                       for i in range(args.num_sessions)]
         sessions = {
             f"{args.eid}-{i}": synthetic_splits(
                 seed=args.seed + i, n_trials=args.n_trials,
