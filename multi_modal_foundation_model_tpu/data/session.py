@@ -304,7 +304,8 @@ def load_ibl_dataset(
     """
     load_one = _load_session or (
         lambda e: load_ibl_session(e, cache_dir=cache_dir,
-                                   org=user_or_org_name))
+                                   org=user_or_org_name,
+                                   aligned=train_aligned))
 
     # ---- session discovery -------------------------------------------
     if eids:
@@ -320,12 +321,13 @@ def load_ibl_dataset(
             from .dataset import get_user_datasets
             ids = get_user_datasets(user_or_org_name)
         ids = [d.split("/", 1)[1] if "/" in d else d for d in ids]
-        if train_aligned:
-            ids = [d for d in ids if "aligned" in d]
-        else:
-            ids = [d for d in ids if "aligned" not in d]
-        wanted = [d[: -len("_aligned")] if d.endswith("_aligned") else d
-                  for d in ids]
+        # suffix-exact filter: the hub names datasets <eid>_aligned /
+        # <eid>_unaligned, and "aligned" is a SUBSTRING of "unaligned" —
+        # the reference's substring filter (dataset_utils.py:218-222)
+        # keeps '<eid>_unaligned' in its aligned list and can never select
+        # unaligned data (SURVEY.md §2.8 "known defects"; fixed here)
+        suffix = "_aligned" if train_aligned else "_unaligned"
+        wanted = [d[: -len(suffix)] for d in ids if d.endswith(suffix)]
 
     test_eids = [e for e in test_session_eid]
     assert not (test_eids and split_method == "random_split"), (
@@ -339,9 +341,15 @@ def load_ibl_dataset(
         deny = set(read_eid_list(test_re_eids_path))
         wanted = [e for e in wanted if e in allow and e not in deny]
 
+    # num_sessions counts train AND test sessions (dataset_utils.py:212);
+    # 0 means "no train sessions" (NOT "all" — guard the falsy-0 slice),
+    # and negatives are a caller error, not a tail slice
     n_train_sessions = (num_sessions - len(test_eids)
                         if test_eids else num_sessions)
-    wanted = wanted[: n_train_sessions if n_train_sessions else None]
+    assert n_train_sessions >= 0, (
+        f"num_sessions={num_sessions} < len(test_session_eid)="
+        f"{len(test_eids)}")
+    wanted = wanted[:n_train_sessions]
 
     # ---- load --------------------------------------------------------
     def load_many(eid_list):
@@ -391,7 +399,12 @@ def load_ibl_dataset(
             "Invalid split method. Please choose 'predefined', "
             "'random_split' or 'session_based'")
 
-    meta = _session_meta(loaded)
+    # meta covers held-out test sessions too: stitched tokenizer/head
+    # sizing and per-eid eval need entries for the sessions returned in
+    # ``test`` (the reference's session_based branch returns no meta at
+    # all — NameError, SURVEY.md §2.8 "known defects")
+    meta = _session_meta({**loaded, **{e: s for e, s in test.items()
+                                       if e not in loaded}})
     return train or None, val or None, test or None, meta
 
 

@@ -24,9 +24,12 @@ trunk is a sharding-spec change, not a rewrite. A dimension that does not
 divide the 'model' axis falls back to replication for that axis (e.g. the
 2-channel behavior tokenizer), so any model size runs on any mesh.
 
-Note: the fused Pallas attention kernel is a custom call XLA cannot
-partition; under a >1 'model' axis use ``attn_impl='xla'`` (the trainer
-does this check). DP-only meshes keep the Pallas path.
+Note: the fused Pallas attention kernel is a custom call XLA's SPMD
+partitioner cannot split by itself, so under a >1 'model' axis the
+trainer wraps it in ``shard_map`` with heads sharded over the axis
+(``ops/attention.py`` ``_flash_mha_tp`` / ``tp_attention`` — exact,
+since softmax rows are head-local). ``attn_impl='pallas'`` therefore
+composes with TP; ``attn_impl='xla'`` remains available as the oracle.
 """
 
 from __future__ import annotations

@@ -36,7 +36,7 @@ from ..eval.metrics import bits_per_spike, metrics_list
 from ..ops.masking import RegionTable
 from .logging import MetricLogger
 from .schedule import OptimizerConfig
-from .trainer import MultiModalTrainer, TrainerConfig
+from .trainer import MultiModalTrainer, TrainerConfig, _with_tp
 
 
 def build_multisession_loaders(
@@ -123,6 +123,7 @@ class MultiSessionTrainer(MultiModalTrainer):
     def _steps_per_epoch(self) -> int:
         return self._total_batches
 
+    @_with_tp
     def _init_state(self):
         batch = self._example_batch()
         mod_inputs = self._build_mod_inputs(batch, None)

@@ -363,3 +363,63 @@ def test_load_ibl_dataset_skips_failing_sessions():
         None, num_sessions=3, split_method="predefined",
         _load_session=flaky, _list_datasets=list_datasets)
     assert meta["eids"] == [eids[0], eids[2]]
+
+
+def test_load_ibl_dataset_zero_train_sessions_is_not_all():
+    """num_sessions counts train AND test sessions: when they are all
+    test sessions, ZERO train sessions load (the falsy-0 slice bug made
+    this load every hub session; reference dataset_utils.py:212)."""
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=3)
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=1, split_method="session_based",
+        test_session_eid=[eids[2]],
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert train is None and val is None
+    assert set(test) == {eids[2]}
+
+    import pytest
+    with pytest.raises(AssertionError):  # negative budget is a caller error
+        load_ibl_dataset(None, num_sessions=1,
+                         split_method="session_based",
+                         test_session_eid=[eids[1], eids[2]],
+                         _load_session=load_session,
+                         _list_datasets=list_datasets)
+
+
+def test_load_ibl_dataset_unaligned_discovery():
+    """train_aligned=False selects exactly the <eid>_unaligned hub
+    datasets; 'aligned' being a substring of 'unaligned' must not leak
+    unaligned names into the aligned list or vice versa (the reference's
+    substring filter can never select unaligned data — known defect)."""
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=3)
+    # only eid00 has an unaligned dataset in the fake hub
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=3, split_method="predefined", batch_size=4,
+        train_aligned=False,
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert meta["eids"] == [eids[0]]
+
+    # and the aligned list holds exactly the three _aligned names
+    _, _, _, meta_a = load_ibl_dataset(
+        None, num_sessions=3, split_method="predefined", batch_size=4,
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert meta_a["eids"] == eids[:3]
+
+
+def test_load_ibl_dataset_session_based_meta_includes_test_sessions():
+    """Stitched tokenizer/head sizing and per-eid eval need meta entries
+    for the held-out sessions returned in ``test``."""
+    from multi_modal_foundation_model_tpu.data.session import load_ibl_dataset
+
+    eids, load_session, list_datasets = _fake_hub(n_sessions=4)
+    train, val, test, meta = load_ibl_dataset(
+        None, num_sessions=4, split_method="session_based",
+        test_session_eid=[eids[3]],
+        _load_session=load_session, _list_datasets=list_datasets)
+    assert eids[3] in meta["eids"]
+    assert meta["eid_list"][eids[3]] == test[eids[3]].n_neurons
+    assert meta["num_sessions"] == 4
