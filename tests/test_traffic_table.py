@@ -1,58 +1,63 @@
-"""Offline checks for the HBM traffic-table tool (scripts/traffic_table.py).
+"""Unit tests for the HBM-traffic tooling (scripts/traffic_table.py):
+tile-padded shape-byte accounting, op classification, and the ENTRY
+walker over a real compiled-CPU HLO module."""
 
-Compiles a tiny train step on the CPU backend and validates that the HLO
-walker parses every ENTRY instruction, attributes plausible byte counts,
-and that the shape parser honors TPU tiling. New observability the
-reference has no analog for (SURVEY.md §5).
-"""
-
+import os
 import sys
-from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
 
-from traffic_table import _one_shape_bytes, shape_bytes, walk_entry  # noqa: E402
-
-
-def test_shape_bytes_tiling():
-    # untiled: plain product
-    assert _one_shape_bytes("f32", "4,4", None) == 64
-    # TPU-tiled layout pads the two minor dims to (8, 128)
-    assert _one_shape_bytes("f32", "4,4", "1,0:T(8,128)") == 8 * 128 * 4
-    assert _one_shape_bytes("bf16", "256,100,668", "") == 256 * 100 * 668 * 2
-    # tuple shapes sum their leaves
-    assert shape_bytes("(f32[8]{0}, s32[2]{0})") == 8 * 4 + 2 * 4
-    # token / opaque elements contribute nothing
-    assert shape_bytes("token[]") == 0
+import traffic_table as tt
 
 
-def test_walk_entry_on_compiled_step():
-    from bench import _build
+def test_shape_bytes_tile_padding():
+    # untiled: logical bytes
+    assert tt.shape_bytes("f32[4,10]") == 4 * 10 * 4
+    # T(8,128): both minor dims pad up
+    assert tt.shape_bytes("f32[4,10]{1,0:T(8,128)}") == 8 * 128 * 4
+    assert tt.shape_bytes("f32[256,100,668]{0,2,1:T(8,128)}") \
+        == 256 * 104 * 768 * 4
+    # bf16 halves the element size
+    assert tt.shape_bytes("bf16[8,128]{1,0:T(8,128)}") == 8 * 128 * 2
+    # tuple shapes sum their members
+    two = tt.shape_bytes("(f32[8,128]{1,0:T(8,128)}, f32[8,128]{1,0:T(8,128)})")
+    assert two == 2 * 8 * 128 * 4
+    # token / unknown dtypes contribute nothing
+    assert tt.shape_bytes("token[]") == 0
 
-    state, train_step, spikes, behavior = _build(8, 20, 64)
-    k = jax.random.PRNGKey(0)
-    compiled = (jax.jit(train_step)
-                .lower(state, spikes, behavior, k).compile())
-    rows = walk_entry(compiled.as_text())
-    assert len(rows) > 10, "walker found almost no ENTRY instructions"
 
-    total = sum(r["out_bytes"] + r["in_bytes"] for r in rows)
-    assert total > 0
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    ca = float(cost.get("bytes accessed", 0.0))
-    if ca > 0:
-        # same accounting model as cost_analysis — totals must agree to
-        # well within an order of magnitude (walker double-counts operands
-        # a fusion recomputes; cost_analysis may model in-place updates)
-        assert 0.2 < total / ca < 5.0, (total, ca)
+def test_classify():
+    assert tt.classify("custom-call", "x = custom-call(...) attn_fwd") \
+        == "pallas attention custom-call"
+    assert tt.classify("fusion", "f = fusion(...), kind=kOutput, calls=dot3") \
+        == "fusion:Output (matmul)"
+    assert tt.classify("fusion", "f = fusion(...), kind=kLoop, calls=rng_b") \
+        == "fusion:Loop (rng)"
+    assert tt.classify("copy-start", "") == "copy"
+    assert tt.classify("all-reduce", "") == "collective"
+    assert tt.classify("dot", "") == "bare matmul"
 
+
+def test_walk_entry_on_compiled_module():
+    """The walker parses a real compiled HLO and attributes plausible
+    bytes: every row has a class, outputs are positive, and a matmul
+    appears for a jitted dense layer."""
+    def f(x, w):
+        return jnp.maximum(x @ w, 0.0).sum()
+
+    x = jnp.ones((32, 64), jnp.float32)
+    w = jnp.ones((64, 128), jnp.float32)
+    hlo = jax.jit(f).lower(x, w).compile().as_text()
+    rows = tt.walk_entry(hlo)
+    assert rows, "walker found no instructions in ENTRY"
+    assert all(r["class"] for r in rows)
+    assert all(r["out_bytes"] >= 0 for r in rows)
     classes = {r["class"] for r in rows}
-    assert any(c.startswith("fusion") or c == "bare matmul"
-               for c in classes), classes
-    for r in rows:
-        assert r["out_bytes"] >= 0 and r["in_bytes"] >= 0
+    assert any("matmul" in c or c == "bare matmul" for c in classes), classes
+    # the dot's operand bytes include both inputs (logical, CPU untiled)
+    mm = [r for r in rows if "matmul" in r["class"]]
+    assert sum(r["in_bytes"] for r in mm) >= (32 * 64 + 64 * 128) * 4
