@@ -201,3 +201,47 @@ def test_determinism_same_key(spikes):
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     c = apply_mask(key(14), spikes, params, "temporal")
     assert not np.array_equal(np.asarray(a[1]), np.asarray(c[1]))
+
+
+def test_mask_ratio_statistics_all_modes(spikes, regions):
+    """Property: over many keys, the achieved masked fraction tracks the
+    requested ratio for every ratio-driven mode (the sampled-count modes
+    are exact per draw; Bernoulli-per-unit modes match in expectation).
+    Locks ratio semantics against regressions in the Gumbel top-k /
+    bernoulli sampling internals."""
+    n_keys = 64
+    for mode in ("temporal", "neuron", "random"):
+        for ratio in (0.2, 0.5):
+            params = MaskParams(ratio=ratio, zero_ratio=1.0,
+                                random_ratio=0.0)
+            fracs = []
+            for i in range(n_keys):
+                _, mask = apply_mask(key(100 + i), spikes, params, mode,
+                                     regions=regions)
+                fracs.append(float(np.asarray(mask).mean()))
+            mean_frac = float(np.mean(fracs))
+            assert abs(mean_frac - ratio) < 0.08, (
+                f"{mode} ratio={ratio}: achieved {mean_frac:.3f}")
+
+
+def test_mask_modes_under_vmap(spikes, regions):
+    """apply_mask_by_id vmaps over per-sample keys (the multi-session
+    trainer's per-batch scheme replay relies on traced scheme ids being
+    batchable with independent keys)."""
+    params = MaskParams(ratio=0.3, zero_ratio=1.0, random_ratio=0.0)
+    keys = jax.random.split(key(7), B)
+    modes = ("temporal", "neuron")
+    mid = modes.index("temporal")
+
+    def one(k, x):
+        return apply_mask_by_id(k, x[None], params,
+                                jnp.asarray(mid, jnp.int32), modes,
+                                regions=regions)
+
+    corrupted, mask = jax.vmap(one)(keys, spikes)
+    assert corrupted.shape[0] == B and mask.shape[0] == B
+    m = np.asarray(mask)[:, 0]
+    # independent keys -> not all samples share one mask pattern
+    assert not all((m[i] == m[0]).all() for i in range(1, B))
+    # still whole-timestep masking per sample
+    assert (m.std(axis=2) == 0).all()
