@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import MaskSpec, multi_head_attention
+from ..ops.attention import MaskSpec, multi_head_attention, tp_mesh_active
 
 
 def _attn_call(q, k, v, n_heads, mask, dropout_rate, dropout_key, impl):
@@ -139,8 +139,57 @@ class MLP(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only projection scope: owns ``kernel``/``bias`` at the same
+    param path (and with the same init, hence identical values) as an
+    ``nn.Dense`` of the same name, without applying it — the parent fuses
+    several projections into ONE wide GEMM. Keeping the per-projection param
+    tree means checkpoints, the torch converter and the TP partition rules
+    are all unaffected by the fusion."""
+
+    features: int
+    fan_in: int
+    use_bias: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.fan_in, self.features))
+        bias = (self.param("bias", torch_bias_init(self.fan_in),
+                           (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def _fused_proj(x, projs, dtype):
+    """Apply several same-input projections as one wide GEMM.
+
+    ``projs``: list of (kernel, bias) from _ProjParams. Concatenating the
+    kernels along the output axis keeps each output column's dot product
+    (and hence its f32/MXU accumulation order) identical to the separate
+    GEMMs — bit-exact fusion — while reading ``x`` once instead of
+    len(projs) times and presenting the MXU one N=sum(features) GEMM.
+    The backward fuses symmetrically: one dX GEMM with K=sum(features)
+    instead of three K=features GEMMs. Returns the per-projection splits.
+    """
+    W = jnp.concatenate([k for k, _ in projs], axis=1)
+    biases = [b for _, b in projs]
+    b = (jnp.concatenate(biases) if biases[0] is not None else None)
+    x, W, b = nn.dtypes.promote_dtype(x, W, b, dtype=dtype)
+    y = x @ W
+    if b is not None:
+        y = y + b
+    sizes = np.cumsum([k.shape[1] for k, _ in projs])[:-1]
+    return jnp.split(y, sizes, axis=-1)
+
+
 class Attention(nn.Module):
-    """Self-attention with fused kernel (``mm_utils.py:76-114``)."""
+    """Self-attention with fused kernel (``mm_utils.py:76-114``).
+
+    The q/k/v projections run as ONE (fan, 3H) GEMM (``_fused_proj``)
+    unless a >1 'model'-axis TP mesh is registered — the kernels are
+    column-sharded under TP and concatenation would force resharding."""
 
     hidden_size: int
     n_heads: int
@@ -154,12 +203,24 @@ class Attention(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         h, fan = self.hidden_size, self.hidden_size
         fix = self.n_layers_fixup
-        q = _dense(h, fan, self.use_bias, name="query", dtype=self.dtype)(x)
-        k = _dense(h, fan, self.use_bias, name="key", dtype=self.dtype)(x)
-        v = _dense(h, fan, self.use_bias,
-                   kernel_init=(fixup_scaled_init(fix, value=True) if fix
-                                else torch_linear_init()),
-                   name="value", dtype=self.dtype)(x)
+        v_init = (fixup_scaled_init(fix, value=True) if fix
+                  else torch_linear_init())
+        if tp_mesh_active():
+            q = _dense(h, fan, self.use_bias, name="query",
+                       dtype=self.dtype)(x)
+            k = _dense(h, fan, self.use_bias, name="key",
+                       dtype=self.dtype)(x)
+            v = _dense(h, fan, self.use_bias, kernel_init=v_init,
+                       name="value", dtype=self.dtype)(x)
+        else:
+            projs = [
+                _ProjParams(h, fan, self.use_bias, torch_linear_init(),
+                            name="query")(),
+                _ProjParams(h, fan, self.use_bias, torch_linear_init(),
+                            name="key")(),
+                _ProjParams(h, fan, self.use_bias, v_init, name="value")(),
+            ]
+            q, k, v = _fused_proj(x, projs, self.dtype)
         drop_rate = 0.0 if deterministic else self.dropout
         drop_key = (self.make_rng("dropout")
                     if drop_rate > 0.0 else None)
@@ -187,12 +248,22 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context, mask=None, deterministic: bool = True):
         h, fan = self.hidden_size, self.hidden_size
         fix = self.n_layers_fixup
+        v_init = (fixup_scaled_init(fix, value=True) if fix
+                  else torch_linear_init())
         q = _dense(h, fan, self.use_bias, name="query", dtype=self.dtype)(x)
-        k = _dense(h, fan, self.use_bias, name="key", dtype=self.dtype)(context)
-        v = _dense(h, fan, self.use_bias,
-                   kernel_init=(fixup_scaled_init(fix, value=True) if fix
-                                else torch_linear_init()),
-                   name="value", dtype=self.dtype)(context)
+        if tp_mesh_active():
+            k = _dense(h, fan, self.use_bias, name="key",
+                       dtype=self.dtype)(context)
+            v = _dense(h, fan, self.use_bias, kernel_init=v_init,
+                       name="value", dtype=self.dtype)(context)
+        else:
+            # k/v share the context input -> one (fan, 2H) GEMM
+            projs = [
+                _ProjParams(h, fan, self.use_bias, torch_linear_init(),
+                            name="key")(),
+                _ProjParams(h, fan, self.use_bias, v_init, name="value")(),
+            ]
+            k, v = _fused_proj(context, projs, self.dtype)
         drop_rate = 0.0 if deterministic else self.dropout
         drop_key = (self.make_rng("dropout")
                     if drop_rate > 0.0 else None)

@@ -466,6 +466,16 @@ class tp_attention:
         _TP_STATE.update(self.prev)
 
 
+def tp_mesh_active() -> bool:
+    """True when a >1 'model'-axis mesh is registered (tp_attention /
+    set_tp_mesh). Model code uses this to skip apply-time kernel fusions
+    (e.g. the QKV wide-GEMM concat in models/layers.py) that would
+    concatenate along a column-sharded axis and force resharding."""
+    mesh, axis = _TP_STATE["mesh"], _TP_STATE["axis"]
+    return (mesh is not None and axis in mesh.shape
+            and int(mesh.shape[axis]) > 1)
+
+
 def _tp_mesh_axis(n_heads: int, hidden: int):
     """(mesh, axis, tp) when TP applies to this call, else (None, None, 1)."""
     mesh, axis = _TP_STATE["mesh"], _TP_STATE["axis"]

@@ -160,10 +160,11 @@ class MultiModalTrainer:
         from ..parallel import model_axis_size
         # TP + the fused Pallas kernel compose via shard_map over the
         # 'model' axis (heads sharded; ops/attention.py:_flash_mha_tp).
-        # The context is entered around every method that may trace.
-        self._tp_mesh = (mesh if (model_axis_size(mesh) > 1 and
-                                  model.config.attn_impl == "pallas")
-                         else None)
+        # The context is entered around every method that may trace — for
+        # the xla impl too, where it only disables the apply-time QKV
+        # wide-GEMM fusion (models/layers.py) whose kernel concat would
+        # otherwise cross the column-sharded 'model' axis.
+        self._tp_mesh = mesh if model_axis_size(mesh) > 1 else None
         self.logger = logger or MetricLogger(trainer_config.log_dir)
         self.metric = trainer_config.metric
 
