@@ -279,3 +279,34 @@ def test_mod_loss_weights():
                + 5.0 * out1.mod_loss["behavior"]
                / out1.mod_n_examples["behavior"])
     np.testing.assert_allclose(float(out1.loss), float(expect1), rtol=1e-6)
+
+
+def test_qkv_fusion_matches_separate_dense(model_and_params, monkeypatch):
+    """The apply-time QKV wide-GEMM fusion (models/layers.py:_fused_proj)
+    matches separate Dense projections and leaves the param tree
+    unchanged. The unfused path is reached by forcing tp_mesh_active()
+    True (its only role in layers.py is disabling the fusion). On TPU
+    the match is bit-exact (MXU column accumulation is independent of
+    GEMM width; measured loss diff 0.0 on hardware — RESULTS.md); CPU
+    BLAS blocking varies with N, so here we allow ~1 ulp."""
+    from multi_modal_foundation_model_tpu.models import layers
+
+    model, params, inputs = model_and_params
+    rngs = {"mask": jax.random.PRNGKey(2)}
+    out_fused = model.apply(params, inputs, rngs=rngs)
+
+    monkeypatch.setattr(layers, "tp_mesh_active", lambda: True)
+    params2 = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        inputs, training=False)
+    # identical param trees (paths AND values): _ProjParams owns
+    # kernel/bias at the same paths/init as the nn.Dense it replaces
+    jax.tree.map(np.testing.assert_array_equal, params, params2)
+    out_unfused = model.apply(params, inputs, rngs=rngs)
+
+    np.testing.assert_allclose(np.asarray(out_fused.loss),
+                               np.asarray(out_unfused.loss), rtol=1e-6)
+    for mod in ("ap", "behavior"):
+        np.testing.assert_allclose(np.asarray(out_fused.mod_preds[mod]),
+                                   np.asarray(out_unfused.mod_preds[mod]),
+                                   rtol=1e-5, atol=1e-6)
