@@ -81,7 +81,8 @@ def add_common_args(ap):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ('model' mesh axis) size; >1 "
                          "shards attention/MLP/tokenizer params per "
-                         "parallel/partition.py (requires attn_impl=xla)")
+                         "parallel/partition.py (composes with the fused "
+                         "Pallas attention via shard_map over heads)")
     return ap
 
 

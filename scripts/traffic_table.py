@@ -170,7 +170,7 @@ def _trace_op_times(trace_dir, n_steps, entry_names):
                if e.get("ph") == "M" and e.get("name") == "thread_name"
                and e.get("args", {}).get("name") == "XLA Ops"
                and (e["pid"] in dev_pids or not dev_pids)}
-    times, extra = {}, {}
+    times, extra, extra_by_name = {}, {}, {}
     for e in ev:
         if (e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids):
             n, dur = e["name"], e.get("dur", 0.0)
@@ -179,8 +179,10 @@ def _trace_op_times(trace_dir, n_steps, entry_names):
             else:
                 c = _classify_event(n)
                 extra[c] = extra.get(c, 0.0) + dur
+                extra_by_name[n] = extra_by_name.get(n, 0.0) + dur
     return ({n: t / n_steps for n, t in times.items()},
-            {c: t / n_steps for c, t in extra.items()})
+            {c: t / n_steps for c, t in extra.items()},
+            {n: t / n_steps for n, t in extra_by_name.items()})
 
 
 def main():
@@ -219,7 +221,7 @@ def main():
     rows = walk_entry(hlo)
     total = sum(r["out_bytes"] + r["in_bytes"] for r in rows)
 
-    op_us, extra_us = {}, {}
+    op_us, extra_us, extra_names = {}, {}, {}
     if args.trace:
         import tempfile
 
@@ -232,7 +234,7 @@ def main():
             for _ in range(n_tr):
                 state, loss = compiled(state, spikes, behavior, k)
             loss.block_until_ready()
-        op_us, extra_us = _trace_op_times(
+        op_us, extra_us, extra_names = _trace_op_times(
             trace_dir, n_tr, {r["name"] for r in rows})
         for r in rows:
             r["us"] = op_us.get(r["name"], 0.0)
@@ -274,6 +276,13 @@ def main():
             line += f"{c['us']/1e3:>9.3f}{bw:>8.0f}"
         print(line)
 
+    if op_us:
+        print(f"\ntop {args.top} non-ENTRY trace events by device time "
+              f"(sub-computation / cloned-fusion names):")
+        for n, us in sorted(extra_names.items(), key=lambda kv: -kv[1]
+                            )[:args.top]:
+            print(f"  {us:9.0f} us/step  [{_classify_event(n):<24}] {n}")
+
     print(f"\ntop {args.top} single instructions by bytes:")
     for r in sorted(rows, key=lambda r: -(r["out_bytes"] + r["in_bytes"])
                     )[:args.top]:
@@ -289,6 +298,8 @@ def main():
                        "cost_analysis_flops": ca_flops,
                        "walked_bytes": total,
                        "by_class": by_class,
+                       "top_subcomputation_us": dict(sorted(
+                           extra_names.items(), key=lambda kv: -kv[1])[:50]),
                        "top": sorted(rows, key=lambda r: -(r["out_bytes"]
                                                            + r["in_bytes"])
                                      )[:50]}, f, indent=1)
