@@ -62,6 +62,19 @@ _BWD_USE_SAVED_LSE = True
 _LSE_SPLIT = False
 _LSE_FLOOR = -1e6
 
+# True: softmax in base 2 — log2(e) folds into the q pre-scale so the score
+# stack's exponential pass is a bare exp2 (VPU exp lowers to exp2 + a
+# per-element multiply; folding kills that multiply). Math is identical:
+# exp2(x*log2e) == exp(x). The LSE sidecar is then base-2 (log2(l)); the
+# backward consumes it consistently and its trailing dk scale carries the
+# same fold. A/B flag, flipped between compiles (static at trace time).
+# Measured OFF (scripts/bench_attn_base2.py): fwd+bwd −2.0 %/−3.6 % slower
+# with the flag on at dropout 0/0.4 — Mosaic already folds exp's log2e
+# multiply into the adjacent elementwise chain, so the "saved" multiply
+# was never paid and the reassociated arithmetic perturbs scheduling.
+_SOFTMAX_BASE2 = False
+_LOG2E = float(np.log2(np.e))
+
 
 class MaskSpec(NamedTuple):
     """attend(b, q, k) = static(q, k) OR key_pad(b, k).
@@ -159,7 +172,9 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     lane->sublane relayout measured +1.9 ms/step; kept for A/B."""
     GB, Tq, _ = q_ref.shape
     Tk = k_ref.shape[1]
-    q = q_ref[...].astype(jnp.float32) * scale
+    exp, log = (jnp.exp2, jnp.log2) if _SOFTMAX_BASE2 else (jnp.exp, jnp.log)
+    q = q_ref[...].astype(jnp.float32) * (
+        scale * _LOG2E if _SOFTMAX_BASE2 else scale)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
     bias = _kernel_bias(pad_ref, static_ref, GB, Tq, Tk)
@@ -177,15 +192,15 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     s = jnp.concatenate(ss, axis=1)                    # (GB, H*Tq, Tk)
     s = s + jnp.tile(bias, (1, n_heads, 1))
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if ml_ref is not None:
         if _LSE_SPLIT:
             ml_ref[:, 0, :] = m[..., 0]
-            ml_ref[:, 1, :] = jnp.log(l)[..., 0]
+            ml_ref[:, 1, :] = log(l)[..., 0]
             ml_ref[:, 2:, :] = jnp.zeros_like(ml_ref[:, 2:, :])
         else:
-            lse = jnp.maximum(m, _LSE_FLOOR) + jnp.log(l)
+            lse = jnp.maximum(m, _LSE_FLOOR) + log(l)
             ml_ref[:, 0, :] = lse[..., 0]
             ml_ref[:, 1:, :] = jnp.zeros_like(ml_ref[:, 1:, :])
     if dropout_rate > 0.0:
@@ -221,7 +236,12 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
     the cast would *lose* precision vs the oracle there)."""
     GB, Tq, _ = q_ref.shape
     Tk = k_ref.shape[1]
-    q = (q_ref[...].astype(jnp.float32) * scale).astype(dots_dtype)
+    # base-2 mode: q carries scale*log2e so the recomputed score stack
+    # lives in the same base-2 domain as the forward's saved sidecar and
+    # pn recovery is a bare exp2 (see _SOFTMAX_BASE2)
+    exp = jnp.exp2 if _SOFTMAX_BASE2 else jnp.exp
+    q_scale = scale * _LOG2E if _SOFTMAX_BASE2 else scale
+    q = (q_ref[...].astype(jnp.float32) * q_scale).astype(dots_dtype)
     k = k_ref[...].astype(dots_dtype)
     v = v_ref[...].astype(dots_dtype)
     g = g_ref[...].astype(dots_dtype)
@@ -246,14 +266,14 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
         # −1.55 ms/step). See _attn_fwd_kernel: the default clamped
         # fold makes fully-masked rows come back as pn = 0 (zero grad).
         if _LSE_SPLIT:
-            pn = jnp.exp((s - ml_ref[:, 0, :][..., None])
-                         - ml_ref[:, 1, :][..., None])
+            pn = exp((s - ml_ref[:, 0, :][..., None])
+                     - ml_ref[:, 1, :][..., None])
         else:
-            pn = jnp.exp(s - ml_ref[:, 0, :][..., None])
+            pn = exp(s - ml_ref[:, 0, :][..., None])
     else:                     # recompute (kept for A/B benchmarking)
         m = jnp.max(s, axis=-1, keepdims=True)
-        l = jnp.sum(jnp.exp(s - m), axis=-1, keepdims=True)
-        pn = jnp.exp(s - m) * pl.reciprocal(l, approx=False)
+        l = jnp.sum(exp(s - m), axis=-1, keepdims=True)
+        pn = exp(s - m) * pl.reciprocal(l, approx=False)
     if dropout_rate > 0.0:
         keep = _dropout_mask(pn.shape, dropout_rate)
         mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
@@ -268,15 +288,20 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pad_ref, static_ref,
         sl = slice(h * d_head, (h + 1) * d_head)
         rows = slice(h * Tq, (h + 1) * Tq)
         dsh = ds[:, rows]
-        # q already carries one factor of scale; dq needs ds @ k * scale,
-        # dk needs ds @ (q_orig) * scale = ds @ (q*scale)
+        # ds is the gradient wrt the RAW (base-e, pre-q_scale) scores —
+        # pn/dpn are probabilities, base-independent. dq = ds @ k * scale;
+        # dk = ds @ (q_orig*scale) — but q carries q_scale = scale*log2e
+        # in base-2 mode, so dk divides the fold back out (ln2 = 1/log2e).
         dq_ref[..., sl] = (jax.lax.dot_general(
             dsh, k[..., sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         ).astype(dq_ref.dtype)
-        dk_ref[..., sl] = jax.lax.dot_general(
+        dkh = jax.lax.dot_general(
             dsh, q[..., sl], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32)
+        if _SOFTMAX_BASE2:
+            dkh = dkh * float(np.log(2.0))
+        dk_ref[..., sl] = dkh.astype(dk_ref.dtype)
         dv_ref[..., sl] = jax.lax.dot_general(
             pd[:, rows], g[..., sl], (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)

@@ -269,3 +269,37 @@ def test_saved_lse_matches_recompute(qkv):
         # fully-masked batch element: zero gradient through the saved path
         np.testing.assert_array_equal(np.asarray(a)[0],
                                       np.zeros_like(np.asarray(a)[0]))
+
+def test_softmax_base2_matches_base_e(qkv):
+    """_SOFTMAX_BASE2 A/B flag: exp2 with log2(e) folded into the q
+    pre-scale is the same math as exp (exp2(x*log2e) == exp(x)), so the
+    two compiles must agree — forward to f32 rounding, and gradients
+    through the saved-(base-2)-LSE backward incl. the dk fold-correction
+    (ln2) and a fully-masked batch element's zero-grad contract."""
+    import multi_modal_foundation_model_tpu.ops.attention as attention
+    q, k, v = qkv
+    pad = jnp.ones((B, T), jnp.int32).at[:, T - 3:].set(0).at[0, :].set(0)
+    spec = attention.MaskSpec(key_pad=pad)
+
+    def loss(q, k, v):
+        return jnp.sum(multi_head_attention(
+            q, k, v, HEADS, mask_spec=spec, impl="pallas") ** 2)
+
+    outs, grads = {}, {}
+    flag = attention._SOFTMAX_BASE2
+    try:
+        for base2 in (True, False):
+            attention._SOFTMAX_BASE2 = base2
+            outs[base2] = multi_head_attention(
+                q, k, v, HEADS, mask_spec=spec, impl="pallas")
+            grads[base2] = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        attention._SOFTMAX_BASE2 = flag
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(grads[True], grads[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a)[0],
+                                      np.zeros_like(np.asarray(a)[0]))
