@@ -512,13 +512,27 @@ def _tp_mesh_axis(n_heads: int, hidden: int):
     return mesh, axis, tp
 
 
+def _fold_shard_seed(seed, model_idx, data_idx):
+    """Per-shard dropout seed: distinct for every (model, data) mesh
+    coordinate so dropout draws are decorrelated across BOTH the
+    head-sharded ('model') and batch-sharded ('data') axes. Odd
+    multipliers, so the map (model_idx, data_idx) -> offset is injective
+    for any realistic mesh (data offset stride 0x9E3D1 ≫ model axis
+    size × 0x18D4F)."""
+    s = seed + model_idx.astype(seed.dtype) * np.int32(0x18D4F)
+    if data_idx is not None:
+        s = s + data_idx.astype(seed.dtype) * np.int32(0x9E3D1)
+    return s
+
+
 def _flash_mha_tp(q, k, v, key_pad, static, seed, scale, dropout_rate,
                   n_heads, d_head, mesh, axis):
     """shard_map the fused kernel: heads (the hidden dim) over ``axis``,
     batch over 'data' when the mesh has it. Exact per shard — softmax and
     output rows are head-local. Dropout draws are decorrelated across
-    shards by folding the axis index into the seed (the pattern differs
-    from the single-device kernel but is the same Bernoulli process)."""
+    shards by folding BOTH mesh coordinates into the seed
+    (``_fold_shard_seed``; the pattern differs from the single-device
+    kernel but is the same Bernoulli process)."""
     from jax.sharding import PartitionSpec as P
 
     tp = int(mesh.shape[axis])
@@ -526,8 +540,9 @@ def _flash_mha_tp(q, k, v, key_pad, static, seed, scale, dropout_rate,
     data = "data" if "data" in mesh.shape else None
 
     def body(q, k, v, key_pad, static, seed):
-        s = seed + jax.lax.axis_index(axis).astype(seed.dtype) * np.int32(
-            0x18D4F)
+        s = _fold_shard_seed(
+            seed, jax.lax.axis_index(axis),
+            jax.lax.axis_index(data) if data is not None else None)
         return _flash_mha(q, k, v, key_pad, static, s, scale, dropout_rate,
                           n_local, d_head)
 

@@ -163,24 +163,10 @@ class MultiSessionTrainer(MultiModalTrainer):
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, data, idx, valid, scheme_id, session_id, base_key):
             batch = self._gather_batch(data, idx, valid)
-            k = jax.random.fold_in(base_key, state.step)
-            k_mask, k_drop = jax.random.split(k)
-            regions = table.select(session_id)
-
-            def loss_fn(params):
-                mod_inputs = self._build_mod_inputs(batch, training_mode)
-                out = state.apply_fn(
-                    {"params": params}, mod_inputs,
-                    masking_mode=scheme_id if use_mtm else None,
-                    mtm_modes=mtm_modes, regions=regions, training=True,
-                    session_id=session_id,
-                    space_attn_mask=batch["space_attn_mask"],
-                    rngs={"mask": k_mask, "dropout": k_drop})
-                return out.loss, out
-
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            return self._grad_scan_step(
+                state, batch, scheme_id, training_mode, use_mtm, mtm_modes,
+                table.select(session_id), base_key, session_id=session_id,
+                space_attn_mask=batch["space_attn_mask"])
 
         self._train_steps[key] = self._tp_wrap(step)
         return self._train_steps[key]
@@ -221,24 +207,10 @@ class MultiSessionTrainer(MultiModalTrainer):
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, batch, scheme_id, session_id, base_key):
-            k = jax.random.fold_in(base_key, state.step)
-            k_mask, k_drop = jax.random.split(k)
-            regions = table.select(session_id)
-
-            def loss_fn(params):
-                mod_inputs = self._build_mod_inputs(batch, training_mode)
-                out = state.apply_fn(
-                    {"params": params}, mod_inputs,
-                    masking_mode=scheme_id if use_mtm else None,
-                    mtm_modes=mtm_modes, regions=regions, training=True,
-                    session_id=session_id,
-                    space_attn_mask=batch["space_attn_mask"],
-                    rngs={"mask": k_mask, "dropout": k_drop})
-                return out.loss, out
-
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            return self._grad_scan_step(
+                state, batch, scheme_id, training_mode, use_mtm, mtm_modes,
+                table.select(session_id), base_key, session_id=session_id,
+                space_attn_mask=batch["space_attn_mask"])
 
         self._train_steps[key] = self._tp_wrap(step)
         return self._train_steps[key]
@@ -358,14 +330,21 @@ class MultiSessionTrainer(MultiModalTrainer):
                 return False
         return True
 
-    def _get_multi_step_dr_stacked(self, training_mode, use_mtm):
-        """K optimizer steps per dispatch via lax.scan over the STACKED
-        multi-session block: the per-step xs carry ``(idx, valid,
+    def _get_multi_step_dr(self, training_mode, use_mtm,
+                           per_step_session: bool = False):
+        """K optimizer steps per dispatch via lax.scan.
+
+        ``per_step_session=False``: one session's index batches per
+        dispatch — ``sids`` is a scalar fixed for the whole scan (sessions
+        in different neuron buckets have different padded shapes, so they
+        cannot share a scan). ``per_step_session=True``: the STACKED
+        multi-session block — the per-step xs carry ``(idx, valid,
         scheme_id, session_id)``, so one compiled scan serves batches from
-        any mix of sessions — the stitched tokenizer/head gather and the
+        any mix of sessions; the stitched tokenizer/head gather and the
         region-table row select ride the traced ``session_id`` exactly as
         the single-step program's do."""
-        key = ("ms-dr-scan-stacked", training_mode, use_mtm)
+        key = ("ms-dr-scan-stacked" if per_step_session else "ms-dr-scan",
+               training_mode, use_mtm)
         if key in self._train_steps:
             return self._train_steps[key]
 
@@ -375,74 +354,20 @@ class MultiSessionTrainer(MultiModalTrainer):
         @partial(jax.jit, donate_argnums=(0,))
         def multi_step(state, data, idxs, valids, schemes, sids, base_key):
             def body(st, xs):
-                idx, valid, scheme_id, session_id = xs
+                if per_step_session:
+                    idx, valid, scheme_id, session_id = xs
+                else:
+                    (idx, valid, scheme_id), session_id = xs, sids
                 batch = self._gather_batch(data, idx, valid)
-                regions = table.select(session_id)
-                k = jax.random.fold_in(base_key, st.step)
-                k_mask, k_drop = jax.random.split(k)
+                return self._grad_scan_step(
+                    st, batch, scheme_id, training_mode, use_mtm, mtm_modes,
+                    table.select(session_id), base_key,
+                    session_id=session_id,
+                    space_attn_mask=batch["space_attn_mask"])
 
-                def loss_fn(params):
-                    mod_inputs = self._build_mod_inputs(batch, training_mode)
-                    out = st.apply_fn(
-                        {"params": params}, mod_inputs,
-                        masking_mode=scheme_id if use_mtm else None,
-                        mtm_modes=mtm_modes, regions=regions, training=True,
-                        session_id=session_id,
-                        space_attn_mask=batch["space_attn_mask"],
-                        rngs={"mask": k_mask, "dropout": k_drop})
-                    return out.loss, out
-
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(st.params)
-                return st.apply_gradients(grads=grads), loss
-
-            state, losses = jax.lax.scan(body, state,
-                                         (idxs, valids, schemes, sids))
-            return state, losses
-
-        self._train_steps[key] = self._tp_wrap(multi_step)
-        return self._train_steps[key]
-
-    def _get_multi_step_dr(self, training_mode, use_mtm):
-        """K optimizer steps per dispatch via lax.scan over one session's
-        index batches (mirrors the single-session ``_get_multi_step_dr``;
-        session_id is fixed per dispatch because sessions in different
-        neuron buckets have different padded shapes)."""
-        key = ("ms-dr-scan", training_mode, use_mtm)
-        if key in self._train_steps:
-            return self._train_steps[key]
-
-        mtm_modes = tuple(self.masking_schemes or ())
-        table = self.region_table
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def multi_step(state, data, idxs, valids, schemes, session_id,
-                       base_key):
-            regions = table.select(session_id)
-
-            def body(st, xs):
-                idx, valid, scheme_id = xs
-                batch = self._gather_batch(data, idx, valid)
-                k = jax.random.fold_in(base_key, st.step)
-                k_mask, k_drop = jax.random.split(k)
-
-                def loss_fn(params):
-                    mod_inputs = self._build_mod_inputs(batch, training_mode)
-                    out = st.apply_fn(
-                        {"params": params}, mod_inputs,
-                        masking_mode=scheme_id if use_mtm else None,
-                        mtm_modes=mtm_modes, regions=regions, training=True,
-                        session_id=session_id,
-                        space_attn_mask=batch["space_attn_mask"],
-                        rngs={"mask": k_mask, "dropout": k_drop})
-                    return out.loss, out
-
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(st.params)
-                return st.apply_gradients(grads=grads), loss
-
-            state, losses = jax.lax.scan(body, state,
-                                         (idxs, valids, schemes))
+            xs = ((idxs, valids, schemes, sids) if per_step_session
+                  else (idxs, valids, schemes))
+            state, losses = jax.lax.scan(body, state, xs)
             return state, losses
 
         self._train_steps[key] = self._tp_wrap(multi_step)
@@ -507,7 +432,6 @@ class MultiSessionTrainer(MultiModalTrainer):
         K=1 (tested). With ``mixed_training`` the objective is sampled
         once per K-group — the same documented semantics as the
         per-session scan path."""
-        from .trainer import TRAINING_SCHEMES, _host_sample
         data, offsets = self._stacked_train_data()
         iters = {}
         for e, loader in self.train_loaders.items():
@@ -533,16 +457,9 @@ class MultiSessionTrainer(MultiModalTrainer):
                         jnp.asarray(sid, jnp.int32), self.base_key)
                     losses.append(jnp.atleast_1d(loss))
                 continue
-            training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
-                             if self.mixed_training else None)
-            schemes = []
-            for _ in chunk:
-                if self.masking_schemes:
-                    s = _host_sample(self._host_rng, self.masking_schemes)
-                    schemes.append(self.masking_schemes.index(s))
-                else:
-                    schemes.append(0)
-            mstep = self._get_multi_step_dr_stacked(training_mode, use_mtm)
+            training_mode, schemes = self._sample_group_modes(len(chunk))
+            mstep = self._get_multi_step_dr(training_mode, use_mtm,
+                                            per_step_session=True)
             self.state, ls = mstep(
                 self.state, data,
                 jnp.asarray(np.stack([c[1] for c in chunk])),
@@ -583,16 +500,7 @@ class MultiSessionTrainer(MultiModalTrainer):
                         sid, self.base_key)
                     losses.append(jnp.atleast_1d(loss))
                 continue
-            from .trainer import TRAINING_SCHEMES, _host_sample
-            training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
-                             if self.mixed_training else None)
-            schemes = []
-            for _ in chunk:
-                if self.masking_schemes:
-                    s = _host_sample(self._host_rng, self.masking_schemes)
-                    schemes.append(self.masking_schemes.index(s))
-                else:
-                    schemes.append(0)
+            training_mode, schemes = self._sample_group_modes(len(chunk))
             use_mtm = bool(self.masking_schemes)
             mstep = self._get_multi_step_dr(training_mode, use_mtm)
             idxs = jnp.asarray(np.stack([c[0] for c in chunk]))

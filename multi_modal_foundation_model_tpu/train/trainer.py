@@ -326,6 +326,32 @@ class MultiModalTrainer:
     # compiled steps
     # ------------------------------------------------------------------
 
+    def _grad_scan_step(self, st: TrainState, batch, scheme_id,
+                        training_mode: Optional[str], use_mtm: bool,
+                        mtm_modes, regions, base_key, **apply_kwargs):
+        """One optimizer step's fold_in(step)-keyed loss/grad/update —
+        the single shared body of every compiled train program (host
+        batch, device-resident gather, K-step scans, and the
+        multi-session fixed/per-step-session variants, which pass
+        ``session_id``/``space_attn_mask`` through ``apply_kwargs``).
+        The K-step-group RNG/trajectory exactness tests pin this body's
+        semantics; change it here and nowhere else."""
+        k = jax.random.fold_in(base_key, st.step)
+        k_mask, k_drop = jax.random.split(k)
+
+        def loss_fn(params):
+            mod_inputs = self._build_mod_inputs(batch, training_mode)
+            out: MultiModalOutput = st.apply_fn(
+                {"params": params}, mod_inputs,
+                masking_mode=scheme_id if use_mtm else None,
+                mtm_modes=mtm_modes, regions=regions, training=True,
+                rngs={"mask": k_mask, "dropout": k_drop}, **apply_kwargs)
+            return out.loss, out
+
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(st.params)
+        return st.apply_gradients(grads=grads), loss
+
     def _get_train_step(self, training_mode: Optional[str], use_mtm: bool):
         key = (training_mode, use_mtm)
         if key in self._train_steps:
@@ -336,22 +362,9 @@ class MultiModalTrainer:
 
         @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
         def step(state: TrainState, batch, scheme_id, base_key):
-            k = jax.random.fold_in(base_key, state.step)
-            k_mask, k_drop = jax.random.split(k)
-
-            def loss_fn(params):
-                mod_inputs = self._build_mod_inputs(batch, training_mode)
-                out: MultiModalOutput = state.apply_fn(
-                    {"params": params}, mod_inputs,
-                    masking_mode=scheme_id if use_mtm else None,
-                    mtm_modes=mtm_modes, regions=regions, training=True,
-                    rngs={"mask": k_mask, "dropout": k_drop})
-                return out.loss, out
-
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            new_state = state.apply_gradients(grads=grads)
-            return new_state, loss
+            return self._grad_scan_step(state, batch, scheme_id,
+                                        training_mode, use_mtm, mtm_modes,
+                                        regions, base_key)
 
         self._train_steps[key] = self._tp_wrap(step)
         return self._train_steps[key]
@@ -371,38 +384,36 @@ class MultiModalTrainer:
         @partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, data, idx, valid, scheme_id, base_key):
             batch = self._gather_batch(data, idx, valid)
-            k = jax.random.fold_in(base_key, state.step)
-            k_mask, k_drop = jax.random.split(k)
-
-            def loss_fn(params):
-                mod_inputs = self._build_mod_inputs(batch, training_mode)
-                out: MultiModalOutput = state.apply_fn(
-                    {"params": params}, mod_inputs,
-                    masking_mode=scheme_id if use_mtm else None,
-                    mtm_modes=mtm_modes, regions=regions, training=True,
-                    rngs={"mask": k_mask, "dropout": k_drop})
-                return out.loss, out
-
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            return self._grad_scan_step(state, batch, scheme_id,
+                                        training_mode, use_mtm, mtm_modes,
+                                        regions, base_key)
 
         self._train_steps[key] = self._tp_wrap(step)
         return self._train_steps[key]
 
-    def _run_scan_group(self, data, group):
-        """Dispatch one lax.scan of len(group) optimizer steps. The
-        objective (mixed_training) is sampled once per group; MtM schemes
-        are sampled per step and scanned as a traced operand."""
+    def _sample_group_modes(self, n: int):
+        """Host RNG draws for one K-step scan group: the objective
+        (mixed_training) is sampled ONCE per group, MtM scheme ids once
+        per step — the documented K-step-group semantics shared by the
+        single-session and both multi-session scan paths. Draw order
+        (objective first, then schemes) matches the K=1 per-step
+        ``_sample_modes`` stream when mixed training is off."""
         training_mode = (_host_sample(self._host_rng, TRAINING_SCHEMES)
                          if self.mixed_training else None)
         schemes = []
-        for _ in group:
+        for _ in range(n):
             if self.masking_schemes:
                 s = _host_sample(self._host_rng, self.masking_schemes)
                 schemes.append(self.masking_schemes.index(s))
             else:
                 schemes.append(0)
+        return training_mode, schemes
+
+    def _run_scan_group(self, data, group):
+        """Dispatch one lax.scan of len(group) optimizer steps. The
+        objective (mixed_training) is sampled once per group; MtM schemes
+        are sampled per step and scanned as a traced operand."""
+        training_mode, schemes = self._sample_group_modes(len(group))
         use_mtm = bool(self.masking_schemes)
         mstep = self._get_multi_step_dr(training_mode, use_mtm)
         idxs = jnp.asarray(np.stack([g[0] for g in group]))
@@ -430,21 +441,9 @@ class MultiModalTrainer:
             def body(st, xs):
                 idx, valid, scheme_id = xs
                 batch = self._gather_batch(data, idx, valid)
-                k = jax.random.fold_in(base_key, st.step)
-                k_mask, k_drop = jax.random.split(k)
-
-                def loss_fn(params):
-                    mod_inputs = self._build_mod_inputs(batch, training_mode)
-                    out: MultiModalOutput = st.apply_fn(
-                        {"params": params}, mod_inputs,
-                        masking_mode=scheme_id if use_mtm else None,
-                        mtm_modes=mtm_modes, regions=regions, training=True,
-                        rngs={"mask": k_mask, "dropout": k_drop})
-                    return out.loss, out
-
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(st.params)
-                return st.apply_gradients(grads=grads), loss
+                return self._grad_scan_step(st, batch, scheme_id,
+                                            training_mode, use_mtm,
+                                            mtm_modes, regions, base_key)
 
             state, losses = jax.lax.scan(body, state,
                                          (idxs, valids, schemes))
@@ -781,8 +780,13 @@ class MultiModalTrainer:
             # and re-raises from here instead of being mislabeled.
             tree = restore_checkpoint(self.tcfg.log_dir, name)  # raw tree
             # container-agnostic structure check (raw orbax trees come
-            # back as dicts where the target holds NamedTuples): identical
-            # leaf shapes mean the failure was NOT a structure mismatch
+            # back as dicts where the target holds NamedTuples, so
+            # treedefs NEVER match and can't be compared): identical
+            # leaf-shape multisets mean the failure was NOT a structure
+            # mismatch. Deliberate edge: a genuine structure mismatch
+            # whose leaf shapes coincide re-raises the original orbax
+            # error (fails loudly, describing the mismatch) instead of
+            # silently downgrading to a params-only resume.
             shapes = lambda t: sorted(
                 str(getattr(l, "shape", ())) for l in
                 jax.tree_util.tree_leaves(t))

@@ -159,7 +159,7 @@ def _trace_op_times(trace_dir, n_steps, entry_names):
     paths = sorted(glob.glob(
         f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not paths:
-        return {}, {}
+        return {}, {}, {}
     with gzip.open(paths[-1]) as f:
         d = json.load(f)
     ev = d.get("traceEvents", [])
