@@ -210,3 +210,26 @@ def test_tp_pallas_heads_not_divisible_falls_back():
         assert tp == 1 and m is None
         m, a, tp = _tp_mesh_axis(n_heads=8, hidden=256)
         assert tp == 4 and a == "model"
+
+
+def test_tp_dropout_seed_distinct_per_shard():
+    """_fold_shard_seed must be injective over every realistic
+    (model_idx, data_idx) grid so dp x tp shards draw decorrelated
+    attention-dropout masks (reviewed defect: the data-axis index was
+    once omitted, giving batch shards bit-identical masks)."""
+    import jax.numpy as jnp
+
+    from multi_modal_foundation_model_tpu.ops.attention import \
+        _fold_shard_seed
+    seed = jnp.asarray(1234, jnp.int32)
+    seen = set()
+    for model_idx in range(8):
+        for data_idx in range(64):
+            s = int(_fold_shard_seed(seed, jnp.asarray(model_idx),
+                                     jnp.asarray(data_idx)))
+            seen.add(s)
+    assert len(seen) == 8 * 64
+    # data=None (tp-only mesh) still decorrelates the model axis
+    only_model = {int(_fold_shard_seed(seed, jnp.asarray(i), None))
+                  for i in range(8)}
+    assert len(only_model) == 8

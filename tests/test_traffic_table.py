@@ -61,3 +61,11 @@ def test_walk_entry_on_compiled_module():
     # the dot's operand bytes include both inputs (logical, CPU untiled)
     mm = [r for r in rows if "matmul" in r["class"]]
     assert sum(r["in_bytes"] for r in mm) >= (32 * 64 + 64 * 128) * 4
+
+
+def test_trace_op_times_no_trace_files(tmp_path):
+    """Graceful-empty path: no profile files -> three empty maps (was a
+    2-tuple unpacked as 3 at the call site)."""
+    op_us, extra_us, extra_names = tt._trace_op_times(
+        str(tmp_path), n_steps=5, entry_names={"fusion.1"})
+    assert op_us == {} and extra_us == {} and extra_names == {}
