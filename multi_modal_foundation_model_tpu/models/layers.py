@@ -339,6 +339,59 @@ class DecoderLayer(nn.Module):
         return x
 
 
+# When True (default), MXUEmbed's backward runs as a one-hot-transpose
+# GEMM on the MXU instead of XLA's scatter-add. Module-level so a bench
+# can A/B both compilations within one process.
+MXU_EMBED_BWD = True
+
+
+@jax.custom_vjp
+def _take_mxu_bwd(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_mxu_bwd_fwd(table, ids):
+    res = (ids, jax.ShapeDtypeStruct(table.shape, table.dtype))
+    return jnp.take(table, ids, axis=0), res
+
+
+def _take_mxu_bwd_bwd(res, g):
+    ids, tref = res
+    vocab, width = tref.shape
+    gf = g.reshape(-1, width)
+    onehot = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=gf.dtype)
+    # contract the flattened position axis: (N,vocab)^T @ (N,width).
+    # HIGHEST precision + f32 accumulation keep the grad f32-accurate
+    # (DEFAULT would bf16-round every g element before the sum).
+    dtable = jax.lax.dot_general(
+        onehot, gf, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return dtable.astype(tref.dtype), None
+
+
+_take_mxu_bwd.defvjp(_take_mxu_bwd_fwd, _take_mxu_bwd_bwd)
+
+
+class MXUEmbed(nn.Embed):
+    """``nn.Embed`` whose gradient is a one-hot-transpose GEMM on the MXU.
+
+    The forward is the identical gather. The default VJP is a scatter-add
+    that runs at VPU scatter throughput — measured 262 us per table per
+    step at B=256 on v5e (8 tables = 2.1 ms, ~3 % of the step) and
+    invariant to vocab size: it is bound by the 25,600 row-updates, not
+    the table. The custom backward computes ``one_hot(ids)^T @ g`` — the
+    same segment-sum, at MXU rate (~1.3 GFLOP, tens of us). Rebuild of
+    the torch ``nn.Embedding`` position/modality tables
+    (``/root/reference/src/multi_modal/encoder_embeddings.py:44-50``);
+    param tree is byte-identical to ``nn.Embed`` ('embedding')."""
+
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        if not MXU_EMBED_BWD:
+            return super().__call__(inputs)
+        return _take_mxu_bwd(self.embedding, inputs)
+
+
 class ModalityTokenizer(nn.Module):
     """Per-modality token embedding: Dense(C -> C*mult) -> act -> *scale ->
     Dense(-> H) -> dropout (token path of the reference embedding layers)."""

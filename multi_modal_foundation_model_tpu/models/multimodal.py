@@ -47,7 +47,7 @@ import numpy as np
 from ..ops.attention import MaskSpec, create_context_mask
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
-from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,
+from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer, MXUEmbed,
                      SessionStitchedHead, SessionStitchedTokenizer)
 
 MODALITY_LOSS = {"ap": "poisson_nll", "behavior": "mse"}
@@ -247,13 +247,13 @@ class MultiModal(nn.Module):
         self.encoder_tokenizers = {m: tokenizer(m) for m in mc.avail_mod}
         self.decoder_tokenizers = {m: tokenizer(m) for m in mc.avail_mod}
         if self.stitched:
-            self.session_emb = nn.Embed(
+            self.session_emb = MXUEmbed(
                 mc.n_sessions, mc.hidden_size, name="session_emb",
                 embedding_init=nn.initializers.normal(stddev=1.0))
 
         emb_init = nn.initializers.normal(stddev=1.0)  # torch Embedding default
         self.enc_mod_emb = {
-            m: nn.Embed(mc.n_modality, mc.hidden_size, name=f"enc_mod_emb_{m}",
+            m: MXUEmbed(mc.n_modality, mc.hidden_size, name=f"enc_mod_emb_{m}",
                         embedding_init=emb_init)
             for m in mc.avail_mod}
         if mc.share_modality_embeddings:
@@ -261,16 +261,16 @@ class MultiModal(nn.Module):
             self.dec_mod_emb = self.enc_mod_emb
         else:
             self.dec_mod_emb = {
-                m: nn.Embed(mc.n_modality, mc.hidden_size,
+                m: MXUEmbed(mc.n_modality, mc.hidden_size,
                             name=f"dec_mod_emb_{m}", embedding_init=emb_init)
                 for m in mc.avail_mod}
         if mc.use_pos:
             self.enc_pos_emb = {
-                m: nn.Embed(mc.max_F, mc.hidden_size, name=f"enc_pos_emb_{m}",
+                m: MXUEmbed(mc.max_F, mc.hidden_size, name=f"enc_pos_emb_{m}",
                             embedding_init=emb_init)
                 for m in mc.avail_mod}
             self.dec_pos_emb = {
-                m: nn.Embed(mc.max_F, mc.hidden_size, name=f"dec_pos_emb_{m}",
+                m: MXUEmbed(mc.max_F, mc.hidden_size, name=f"dec_pos_emb_{m}",
                             embedding_init=emb_init)
                 for m in mc.avail_mod}
 
