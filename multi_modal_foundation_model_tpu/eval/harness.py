@@ -370,7 +370,18 @@ def co_smoothing_eval(
     np.save(os.path.join(save_path, "bps.npy"), bps_all)
     np.save(os.path.join(save_path, "r2.npy"), r2_all)
     return {
-        f"{mode}_mean_bps": np.nanmean(bps_all),
-        f"{mode}_mean_r2_psth": np.nanmean(r2_all[:, 0]),
-        f"{mode}_mean_r2_trial": np.nanmean(r2_all[:, 1]),
+        f"{mode}_mean_bps": _nanmean(bps_all),
+        f"{mode}_mean_r2_psth": _nanmean(r2_all[:, 0]),
+        f"{mode}_mean_r2_trial": _nanmean(r2_all[:, 1]),
     }
+
+
+def _nanmean(a: np.ndarray) -> float:
+    """nanmean that returns NaN silently on an all-NaN column (the unaligned
+    path legitimately produces ones — e.g. every neuron's PSTH R² undefined
+    when no trial conditions exist) instead of numpy's RuntimeWarning."""
+    a = np.asarray(a, dtype=np.float64)
+    keep = ~np.isnan(a)
+    if not keep.any():
+        return float("nan")
+    return float(a[keep].mean())

@@ -234,7 +234,11 @@ def _sample_regions(key: jax.Array, candidates: jnp.ndarray,
 
     Gumbel top-k over the candidate list; entries < 0 are padding (used by
     the multi-session RegionTable, where sessions have different region
-    counts) and are never selected while valid candidates remain.
+    counts) and are never selected while valid candidates remain. When ``n``
+    exceeds a session's *valid* candidate count (a traced quantity, so it
+    cannot be clamped statically) the surplus slots come back as ``-1``
+    padding ids — :func:`_member` ignores them, so padded neurons (whose
+    ``region_ids`` are also ``-1``) are never matched.
     """
     n = min(n, int(candidates.shape[0]))
     g = jax.random.gumbel(key, candidates.shape)
@@ -244,8 +248,14 @@ def _sample_regions(key: jax.Array, candidates: jnp.ndarray,
 
 
 def _member(region_ids: jnp.ndarray, sampled: jnp.ndarray) -> jnp.ndarray:
-    """(N,) bool: does each neuron's region id appear in ``sampled``."""
-    return (region_ids[None, :] == sampled[:, None]).any(axis=0)
+    """(N,) bool: does each neuron's region id appear in ``sampled``.
+
+    ``-1`` entries in ``sampled`` are padding from :func:`_sample_regions`
+    (session had fewer valid regions than ``n_mask_regions``) and must not
+    match the ``-1`` region ids of padded neuron channels.
+    """
+    hit = (region_ids[None, :] == sampled[:, None]) & (sampled[:, None] >= 0)
+    return hit.any(axis=0)
 
 
 # ---------------------------------------------------------------------------

