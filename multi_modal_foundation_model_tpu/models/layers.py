@@ -22,6 +22,7 @@ and bias; N(0,1) for embeddings) so training dynamics are comparable.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -86,10 +87,105 @@ def fixup_scaled_init(n_layers: int, value: bool = False) -> Callable:
     return torch_linear_init(scale=factor)
 
 
+# When True, Dense bias gradients ride the dW GEMM on the MXU
+# (``_matmul_fused_bias_grad``) instead of XLA's (B*T)-axis reduce fusions.
+# Module-level so a bench can A/B both compilations within one process.
+#
+# MEASURED NEGATIVE on the flagship B=256 step (round 4, alternating
+# in-process A/B, 4 reps): 72.4 ms/step vs 70.4 baseline. Autodiff's dW+db
+# pair already fuses the bias reduce into the dW GEMM epilogue when XLA
+# chooses to (micro: 110 us vs 124 us for the explicit ones-row GEMM); the
+# standalone 110-240 us db reduce fusions seen in the device trace are the
+# sites XLA deliberately split, and forcing them through custom_vjp dots
+# costs more than it saves. Kept as a tested-off switch so nobody re-runs
+# the experiment blind (same policy as base-2 softmax, RESULTS.md round 3).
+MXU_BIAS_GRAD = False
+
+
+@jax.custom_vjp
+def _matmul_fused_bias_grad(x, kernel, bias):
+    """``x @ kernel + bias`` whose bias GRADIENT is one extra MXU row.
+
+    XLA compiles ``db = sum(g, axis=(0, 1))`` as a standalone reduce fusion
+    over the (B*T)-major axes — measured 110-240 us per bias at B=256 (7x
+    off HBM bandwidth; cross-sublane adds run at VPU reduce throughput),
+    ~6 ms/step across the model's ~40 bias sites. The dW GEMM already
+    contracts the same (B*T) axis over the same ``g``: appending a ones
+    column to x makes ``dWb = [x, 1]^T @ g`` — dW plus db in ONE GEMM,
+    one extra output row (M 256->257, sublane-pad noise). Forward dot and
+    dx dot are bit-identical to ``nn.Dense``'s; dW keeps the identical
+    contraction per output element (f32 accumulation order unchanged);
+    db moves from a VPU tree-reduce to an MXU f32 accumulate.
+    """
+    y = jax.lax.dot_general(x, kernel,
+                            (((x.ndim - 1,), (0,)), ((), ())))
+    return y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+
+
+def _matmul_fbg_fwd(x, kernel, bias):
+    return _matmul_fused_bias_grad(x, kernel, bias), (x, kernel)
+
+
+def _matmul_fbg_bwd(res, g):
+    x, kernel = res
+    lead = tuple(range(g.ndim - 1))
+    # dx and dW mirror autodiff's dots exactly (3-D dot_general over the
+    # leading dims — no reshape, which would force a relayout copy on the
+    # {2,0,1}-layout trunk activations)
+    dx = jax.lax.dot_general(g, kernel,
+                             (((g.ndim - 1,), (1,)), ((), ())))
+    dw = jax.lax.dot_general(x, g, ((lead, lead), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # db as a ones-row GEMM over g: MXU f32 accumulate at g's read
+    # bandwidth, replacing XLA's cross-sublane reduce fusion (measured
+    # 110-240 us/site at B=256). M=8 because the MXU processes 8 sublanes
+    # per pass anyway; row 0 is the sum.
+    ones = jnp.ones((8,) + tuple(g.shape[:-1]), g.dtype)
+    db = jax.lax.dot_general(ones, g, ((tuple(range(1, g.ndim)), lead),
+                                       ((), ())),
+                             preferred_element_type=jnp.float32)[0]
+    return dx, dw.astype(kernel.dtype), db.astype(kernel.dtype)
+
+
+_matmul_fused_bias_grad.defvjp(_matmul_fbg_fwd, _matmul_fbg_bwd)
+
+
+def _apply_dense(x, kernel, bias, dtype):
+    """Promote + matmul(+bias); bias grads via the MXU when enabled."""
+    x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    if bias is None:
+        return jax.lax.dot_general(x, kernel,
+                                   (((x.ndim - 1,), (0,)), ((), ())))
+    if MXU_BIAS_GRAD:
+        return _matmul_fused_bias_grad(x, kernel, bias)
+    y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+    return y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+
+
+class MXUDense(nn.Module):
+    """``nn.Dense`` twin (same param tree: 'kernel'/'bias', same init and
+    forward math) whose bias gradient rides the dW GEMM
+    (``_matmul_fused_bias_grad``) instead of a standalone reduce fusion."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        return _apply_dense(x, kernel, bias, self.dtype)
+
+
 def _dense(features: int, fan_in: int, use_bias: bool = True,
            kernel_init: Optional[Callable] = None, name: Optional[str] = None,
-           dtype: Dtype = None) -> nn.Dense:
-    return nn.Dense(
+           dtype: Dtype = None) -> MXUDense:
+    return MXUDense(
         features,
         use_bias=use_bias,
         kernel_init=kernel_init or torch_linear_init(),
@@ -97,6 +193,63 @@ def _dense(features: int, fan_in: int, use_bias: bool = True,
         name=name,
         dtype=dtype,
     )
+
+
+# When True, dropout regenerates its keep mask from the PRNG key in the
+# backward pass instead of saving it, eliminating the u32 random-bit
+# residuals (100 MiB x ~10 sites at B=256 in the device trace).
+#
+# MEASURED NEUTRAL on the flagship B=256 step (round 4): 70.41 vs
+# 70.46 ms/step, and compiled peak HBM identical to the byte
+# (4.633 GB both ways) — the residual copies are async copy-starts with
+# zero attributed device time (fully overlapped behind compute), and the
+# backward's RNG replay costs about what the residual reads saved. Kept
+# as a tested-off switch; it may matter on memory-constrained shapes
+# where the 1 GB of residuals forces rematerialization elsewhere.
+REPLAY_DROPOUT = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _replay_dropout(x, key, rate: float):
+    """nn.Dropout math (bernoulli keep at 1-rate, inverse-scale survivors)
+    with a zero-residual VJP: only ``key`` is saved; backward replays the
+    identical draw."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jax.lax.select(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def _replay_dropout_fwd(x, key, rate: float):
+    return _replay_dropout(x, key, rate), key
+
+
+def _replay_dropout_bwd(rate: float, key, g):
+    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
+    dx = jax.lax.select(keep, g / (1.0 - rate), jnp.zeros_like(g))
+    return dx, np.zeros(key.shape, dtype=jax.dtypes.float0)
+
+
+_replay_dropout.defvjp(_replay_dropout_fwd, _replay_dropout_bwd)
+
+
+class ReplayDropout(nn.Module):
+    """``nn.Dropout`` twin whose backward replays the PRNG draw instead of
+    saving the keep mask (see ``REPLAY_DROPOUT``). Same draw per call site
+    (one ``make_rng('dropout')``), same select/scale math."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.rate == 1.0:
+            return jnp.zeros_like(x)
+        key = self.make_rng("dropout")
+        if not REPLAY_DROPOUT:
+            keep = jax.random.bernoulli(key, 1.0 - self.rate, x.shape)
+            return jax.lax.select(keep, x / (1.0 - self.rate),
+                                  jnp.zeros_like(x))
+        return _replay_dropout(x, key, self.rate)
 
 
 class ScaleNorm(nn.Module):
@@ -136,7 +289,7 @@ class MLP(nn.Module):
         x = ACT2FN[self.act](x)
         x = _dense(self.hidden_size, self.inter_size, self.use_bias,
                    kernel_init=down_init, name="down_proj", dtype=self.dtype)(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return ReplayDropout(self.dropout)(x, deterministic=deterministic)
 
 
 class _ProjParams(nn.Module):
@@ -176,10 +329,7 @@ def _fused_proj(x, projs, dtype):
     W = jnp.concatenate([k for k, _ in projs], axis=1)
     biases = [b for _, b in projs]
     b = (jnp.concatenate(biases) if biases[0] is not None else None)
-    x, W, b = nn.dtypes.promote_dtype(x, W, b, dtype=dtype)
-    y = x @ W
-    if b is not None:
-        y = y + b
+    y = _apply_dense(x, W, b, dtype)
     sizes = np.cumsum([k.shape[1] for k, _ in projs])[:-1]
     return jnp.split(y, sizes, axis=-1)
 
@@ -226,7 +376,7 @@ class Attention(nn.Module):
                     if drop_rate > 0.0 else None)
         out = _attn_call(q, k, v, self.n_heads, mask, drop_rate, drop_key,
                          self.attn_impl)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = ReplayDropout(self.dropout)(out, deterministic=deterministic)
         return _dense(h, fan, self.use_bias,
                       kernel_init=(fixup_scaled_init(fix) if fix
                                    else torch_linear_init()),
@@ -269,7 +419,7 @@ class CrossAttention(nn.Module):
                     if drop_rate > 0.0 else None)
         out = _attn_call(q, k, v, self.n_heads, mask, drop_rate, drop_key,
                          self.attn_impl)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = ReplayDropout(self.dropout)(out, deterministic=deterministic)
         return _dense(h, fan, self.use_bias,
                       kernel_init=(fixup_scaled_init(fix) if fix
                                    else torch_linear_init()),
@@ -413,7 +563,7 @@ class ModalityTokenizer(nn.Module):
         x = ACT2FN[self.act](x) * self.scale
         x = _dense(self.hidden_size, inter, True, name="projection",
                    dtype=self.dtype)(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return ReplayDropout(self.dropout)(x, deterministic=deterministic)
 
 
 class SessionStitchedTokenizer(nn.Module):
@@ -459,7 +609,7 @@ class SessionStitchedTokenizer(nn.Module):
         x = ACT2FN[self.act](x) * self.scale
         x = _dense(self.hidden_size, inter, True, name="projection",
                    dtype=self.dtype)(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return ReplayDropout(self.dropout)(x, deterministic=deterministic)
 
 
 class SessionStitchedHead(nn.Module):
@@ -499,7 +649,7 @@ class FactorsProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = ReplayDropout(self.dropout)(x, deterministic=deterministic)
         if not self.active:
             return x
         x = nn.Dense(

@@ -47,8 +47,9 @@ import numpy as np
 from ..ops.attention import MaskSpec, create_context_mask
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
-from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer, MXUEmbed,
-                     SessionStitchedHead, SessionStitchedTokenizer)
+from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,
+                     MXUDense, MXUEmbed, SessionStitchedHead,
+                     SessionStitchedTokenizer)
 
 MODALITY_LOSS = {"ap": "poisson_nll", "behavior": "mse"}
 
@@ -288,7 +289,7 @@ class MultiModal(nn.Module):
                                       name=f"encoder_{i}")
                         for i in range(mc.n_enc_layers)]
         self.encoder_norm = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")
-        self.decoder_proj_context = nn.Dense(
+        self.decoder_proj_context = MXUDense(
             mc.hidden_size, name="decoder_proj_context",
             dtype=mc.compute_dtype)
         self.decoder = [dec_layer_cls(dec_cfg, attn_impl=mc.attn_impl,
@@ -302,7 +303,7 @@ class MultiModal(nn.Module):
                                     hidden_size=mc.hidden_size,
                                     name=f"out_proj_{m}")
                 if self.stitched and m == "ap" else
-                nn.Dense(mc.n_channels[m], name=f"out_proj_{m}"))
+                MXUDense(mc.n_channels[m], name=f"out_proj_{m}"))
             for m in mc.avail_mod}
 
     # ------------------------------------------------------------------

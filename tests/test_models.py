@@ -348,3 +348,77 @@ def test_mxu_embed_matches_nn_embed():
     np.testing.assert_allclose(gs_new["params"]["embedding"],
                                gs_ref["params"]["embedding"],
                                rtol=0, atol=1e-5)
+
+
+def test_mxu_bias_grad_matches_dense(monkeypatch):
+    """MXU_BIAS_GRAD switch (models/layers.py): MXUDense's custom-VJP path
+    (db rides the dW GEMM as a ones-row contraction) must match the
+    default autodiff path — forward and dx/dW bit-identical (same dots),
+    db to f32 accumulation-order noise. The switch is default-off
+    (measured net-negative at B=256, see layers.py), but the equivalence
+    is pinned so the experiment stays one flag-flip away."""
+    import flax.linen as nn
+
+    from multi_modal_foundation_model_tpu.models import layers
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 24))
+    mod = layers.MXUDense(16)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    # param tree mirrors nn.Dense exactly (paths and init)
+    ref = nn.Dense(16).init(jax.random.PRNGKey(1), x)
+    jax.tree.map(np.testing.assert_array_equal, params, ref)
+
+    def loss(p, xx):
+        y = mod.apply(p, xx)
+        return jnp.sum(jnp.sin(y)), y
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(layers, "MXU_BIAS_GRAD", flag)
+        (l, y), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                       has_aux=True)(params, x)
+        outs[flag] = (np.asarray(y), g)
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    gp0, gx0 = outs[False][1]
+    gp1, gx1 = outs[True][1]
+    np.testing.assert_allclose(gx1, gx0, rtol=1e-6)
+    np.testing.assert_allclose(gp1["params"]["kernel"],
+                               gp0["params"]["kernel"], rtol=3e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(gp1["params"]["bias"],
+                               gp0["params"]["bias"], rtol=1e-5, atol=1e-6)
+
+
+def test_replay_dropout_matches_saved_mask(monkeypatch):
+    """REPLAY_DROPOUT switch (models/layers.py): regenerating the keep mask
+    from the PRNG key in the backward must be bit-identical to the saved-
+    mask default in both output and gradient (same bernoulli draw, same
+    select/scale math). Also pins ReplayDropout == nn.Dropout under the
+    same rng stream."""
+    import flax.linen as nn
+
+    from multi_modal_foundation_model_tpu.models import layers
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 33))
+    key = jax.random.PRNGKey(7)
+
+    def run(module):
+        def loss(xx):
+            y = module.apply({}, xx, deterministic=False,
+                             rngs={"dropout": key})
+            return jnp.sum(jnp.cos(y))
+        return jax.value_and_grad(loss)(x)
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(layers, "REPLAY_DROPOUT", flag)
+        outs[flag] = run(layers.ReplayDropout(0.4))
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_array_equal(np.asarray(outs[False][1]),
+                                  np.asarray(outs[True][1]))
+    l_nn, g_nn = run(nn.Dropout(0.4))
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(l_nn))
+    np.testing.assert_array_equal(np.asarray(outs[False][1]),
+                                  np.asarray(g_nn))
