@@ -602,10 +602,14 @@ class SessionStitchedTokenizer(nn.Module):
         W = self.param("token_embed_kernel", kernel_init, (S, N, inter))
         b = self.param("token_embed_bias", kernel_init, (S, inter)) \
             if self.use_bias else None
+        # scalar id: one shared (N, inter) kernel — plain GEMM. (B,) ids
+        # (session-mixed batches): (B, N, inter) gather + batched GEMM —
+        # the MXU runs B independent (T,N)x(N,inter) contractions.
         w_s = jnp.take(W, session_id, axis=0).astype(self.dtype or inputs.dtype)
         x = inputs @ w_s
         if b is not None:
-            x = x + jnp.take(b, session_id, axis=0).astype(x.dtype)
+            b_s = jnp.take(b, session_id, axis=0).astype(x.dtype)
+            x = x + (b_s[:, None, :] if b_s.ndim == 2 else b_s)
         x = ACT2FN[self.act](x) * self.scale
         x = _dense(self.hidden_size, inter, True, name="projection",
                    dtype=self.dtype)(x)
@@ -631,7 +635,8 @@ class SessionStitchedHead(nn.Module):
         W = self.param("kernel", kernel_init, (S, H, N))
         b = self.param("bias", kernel_init, (S, N))
         w_s = jnp.take(W, session_id, axis=0).astype(y.dtype)
-        return y @ w_s + jnp.take(b, session_id, axis=0).astype(y.dtype)
+        b_s = jnp.take(b, session_id, axis=0).astype(y.dtype)
+        return y @ w_s + (b_s[:, None, :] if b_s.ndim == 2 else b_s)
 
 
 class FactorsProjection(nn.Module):

@@ -427,7 +427,11 @@ class MultiModal(nn.Module):
             if self.stitched and mod == "ap":
                 assert session_id is not None, \
                     "stitched model needs a session_id"
-                s_emb = self.session_emb(session_id)[None, None, :]
+                # scalar id -> (1,1,H) broadcast; (B,) ids (session-mixed
+                # batches) -> per-sample (B,1,H)
+                s_emb = (self.session_emb(session_id)[:, None, :]
+                         if session_id.ndim == 1
+                         else self.session_emb(session_id)[None, None, :])
                 e_emb = e_emb + s_emb
                 d_emb = d_emb + s_emb
                 tokens_e.append(self.encoder_tokenizers[mod](

