@@ -427,10 +427,15 @@ class CrossAttention(nn.Module):
 
 
 def _norm(cfg, name: str, dtype: Dtype):
+    from ..ops.layernorm import FusedLayerNorm
+
     if cfg.use_scalenorm:
         return ScaleNorm(cfg.hidden_size ** 0.5, name=name, dtype=dtype)
-    # epsilon matches torch nn.LayerNorm (1e-5); flax defaults to 1e-6
-    return nn.LayerNorm(epsilon=1e-5, name=name, dtype=dtype)
+    # epsilon matches torch nn.LayerNorm (1e-5); flax defaults to 1e-6.
+    # FusedLayerNorm = nn.LayerNorm twin (same param tree/math; runs the
+    # XLA form by default — the Pallas modes measured slower in situ,
+    # see ops/layernorm.py PALLAS_LAYERNORM)
+    return FusedLayerNorm(epsilon=1e-5, name=name, dtype=dtype)
 
 
 class EncoderLayer(nn.Module):

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import MaskSpec, create_context_mask
+from ..ops.layernorm import FusedLayerNorm
 from ..ops.losses import masked_mse, masked_poisson_nll
 from ..ops.masking import MaskParams, RegionSets, apply_mask, apply_mask_by_id
 from .layers import (DecoderLayer, EncoderLayer, ModalityTokenizer,
@@ -288,7 +289,8 @@ class MultiModal(nn.Module):
                                       dtype=mc.compute_dtype,
                                       name=f"encoder_{i}")
                         for i in range(mc.n_enc_layers)]
-        self.encoder_norm = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")
+        self.encoder_norm = FusedLayerNorm(epsilon=1e-5,
+                                           name="encoder_norm")
         self.decoder_proj_context = MXUDense(
             mc.hidden_size, name="decoder_proj_context",
             dtype=mc.compute_dtype)
@@ -296,7 +298,8 @@ class MultiModal(nn.Module):
                                       dtype=mc.compute_dtype,
                                       name=f"decoder_{i}")
                         for i in range(mc.n_dec_layers)]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        self.decoder_norm = FusedLayerNorm(epsilon=1e-5,
+                                           name="decoder_norm")
         self.out_proj = {
             m: (SessionStitchedHead(n_sessions=mc.n_sessions,
                                     n_channels=mc.n_channels[m],

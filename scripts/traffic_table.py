@@ -291,6 +291,13 @@ def main():
         print(f"  {b:9.1f} MiB{t}  {r['class']:<30} {r['name'][:38]:<40} "
               f"{r['shape']}")
 
+    if op_us:
+        print(f"\ntop {args.top} single instructions by device time:")
+        for r in sorted(rows, key=lambda r: -r.get("us", 0.0))[:args.top]:
+            b = (r["out_bytes"] + r["in_bytes"]) / 2**20
+            print(f"  {r['us']:7.0f} us {b:9.1f} MiB  {r['class']:<30} "
+                  f"{r['name'][:38]:<40} {r['shape']}")
+
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"batch_size": args.batch_size,
@@ -302,7 +309,10 @@ def main():
                            extra_names.items(), key=lambda kv: -kv[1])[:50]),
                        "top": sorted(rows, key=lambda r: -(r["out_bytes"]
                                                            + r["in_bytes"])
-                                     )[:50]}, f, indent=1)
+                                     )[:50],
+                       "top_time": sorted(
+                           (r for r in rows if r.get("us")),
+                           key=lambda r: -r["us"])}, f, indent=1)
 
 
 if __name__ == "__main__":
