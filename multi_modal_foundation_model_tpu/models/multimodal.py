@@ -457,7 +457,16 @@ class MultiModal(nn.Module):
         attn_token = jnp.concatenate(attn_tokens, axis=1)
 
         # batch-uniform token zeroing by element 0's mask (mm.py:147-149)
-        zero_e = (1 - token_mask[0]).astype(enc_tokens.dtype)[None, :, None]
+        # — self-consistent because the reference (and this framework)
+        # draws ONE mask per batch. Session-mixed batches break that
+        # premise: the region-conditioned modes draw per sample there
+        # (masking.py RegionTable.select with (B,) ids), so zeroing by
+        # row 0 would cross-contaminate samples; that path zeroes each
+        # sample by its own row (bit-identical whenever rows agree).
+        per_sample = session_id is not None and session_id.ndim == 1
+        zero_e = ((1 - token_mask) if per_sample
+                  else (1 - token_mask[0])[None, :]
+                  ).astype(enc_tokens.dtype)[:, :, None]
         enc_tokens = enc_tokens * zero_e
         dec_tokens = dec_tokens * zero_e  # decoder mask == encoder mask here
 

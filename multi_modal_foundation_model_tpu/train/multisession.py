@@ -258,6 +258,12 @@ class MultiSessionTrainer(MultiModalTrainer):
         self._reseed_host_rng(epoch)   # trajectory-exact resume (trainer.py)
         if self.tcfg.device_resident_data:
             return self._train_epoch_dr(epoch)
+        if self.tcfg.mixed_session_batches:
+            # only the device-resident path implements cross-session
+            # batches; raise rather than silently train single-session
+            raise ValueError(
+                "mixed_session_batches requires device_resident_data=True "
+                "(the streaming path has no cross-session gather)")
 
         iters = {}
         for e, loader in self.train_loaders.items():

@@ -312,7 +312,7 @@ def main():
                                      )[:50],
                        "top_time": sorted(
                            (r for r in rows if r.get("us")),
-                           key=lambda r: -r["us"])}, f, indent=1)
+                           key=lambda r: -r["us"])[:50]}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -418,6 +418,82 @@ def test_masker_per_sample_regions():
             assert targets[i][:, same].all()
 
 
+def test_mixed_session_batches_requires_device_resident(tmp_path):
+    """mixed_session_batches without device_resident_data raises instead
+    of silently training plain single-session batches."""
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+    tr = MultiSessionTrainer(
+        stitched_model(meta["n_max"], n_sessions=len(meta["eids"])),
+        train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=1, log_dir=str(tmp_path), seed=0,
+                      device_resident_data=False,
+                      mixed_session_batches=True),
+        region_table=None, eid_to_sid=meta["eid_to_sid"])
+    with pytest.raises(ValueError, match="device_resident_data"):
+        tr.train_epoch(0)
+
+
+def test_per_sample_zeroing_no_cross_contamination():
+    """With (B,) session ids + region-conditioned masking the token masks
+    differ per row, so token zeroing must use each row's OWN mask: rows
+    1..B-1's outputs must not change when row 0's data/session change
+    (regression for the batch-uniform row-0 zeroing quirk, which is only
+    self-consistent when the whole batch shares one mask draw)."""
+    _, _, _, meta = build_multisession_loaders(
+        sessions_fixture(), batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    n_max = meta["n_max"]
+    # n_mask_regions=1 of each session's ~2 regions: row 0's channel-0
+    # masked-status provably flips with its session while rows 1-2's
+    # draws are untouched (verified across 16 keys)
+    model = stitched_model(n_max, dropout=0.0, embed_dropout=0.0,
+                           mask_params=MaskParams(ratio=0.3,
+                                                  n_mask_regions=1))
+    B = 3
+    rng = np.random.default_rng(9)
+    spikes = rng.poisson(0.4, (B, T, n_max)).astype(np.float32)
+    behavior = rng.normal(size=(B, T, 2)).astype(np.float32)
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+
+    def mk(sp):
+        sp = jnp.asarray(sp)
+        return {
+            "ap": ModalityInput(inputs=sp, targets=sp, attn_mask=attn,
+                                timestamps=ts,
+                                eval_mask=jnp.ones_like(sp, jnp.int32)),
+            "behavior": ModalityInput(
+                inputs=jnp.asarray(behavior), targets=jnp.asarray(behavior),
+                attn_mask=attn, timestamps=ts,
+                eval_mask=jnp.zeros((B, T, 2), jnp.int32)),
+        }
+
+    sids = jnp.asarray(np.array([0, 1, 0], np.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, mk(spikes),
+                        training=False, session_id=sids)["params"]
+
+    def fwd(sp, sids):
+        # traced-id path: behavior (no region info) degrades to temporal,
+        # exactly as the MtM trainer drives it
+        return np.asarray(model.apply(
+            {"params": params}, mk(sp),
+            masking_mode=jnp.asarray(0, jnp.int32),
+            mtm_modes=("inter-region",),
+            regions=table.select(sids), training=True,
+            session_id=sids, rngs={"mask": jax.random.PRNGKey(4)},
+        ).mod_preds["ap"])
+
+    base = fwd(spikes, sids)
+    spikes2 = spikes.copy()
+    spikes2[0] = rng.poisson(0.4, (T, n_max)).astype(np.float32)
+    sids2 = jnp.asarray(np.array([1, 1, 0], np.int32))
+    changed = fwd(spikes2, sids2)
+    np.testing.assert_allclose(changed[1:], base[1:], rtol=1e-6, atol=1e-6)
+
+
 def test_mixed_session_batches_trainer(tmp_path):
     """End-to-end mixed-session training: device-resident stacked block,
     always-full cross-session batches, K-step scan, MtM + mixed
@@ -440,8 +516,11 @@ def test_mixed_session_batches_trainer(tmp_path):
     res = tr.train()
     h = res["history"]
     assert np.isfinite(h[-1]["train_loss"])
+    # the epoch consumes every trial exactly once in always-full batches:
     # 2 sessions x 38 train trials = 76 trials -> ceil(76/16) = 5 steps
     total = sum(len(l.arrays["spikes_data"]) for l in train.values())
     out = tr.train_epoch(0)
     assert np.isfinite(out["train_loss"])
+    n_steps = round(out["train_loss"] / out["train_loss_avg"])
+    assert n_steps == -(-total // 16)
     assert np.isfinite(res["best_eval_trial_avg_r2"])
