@@ -181,7 +181,16 @@ def attention_model_flops(B: int, T: int, n_heads: int, d_head: int,
 
 
 class LargeBatchBench:
-    """Production-batch (B=256) seq/s + MFU, multi-pass (see module doc)."""
+    """Production-batch (B=256) seq/s + MFU, multi-pass (see module doc).
+
+    Dispatch: n_steps per-step jitted calls with ONE sync per pass.
+    A single ``lax.scan`` over the 20 steps was tried (round 4) and
+    measured SLOWER in a same-phase A/B — 3550 vs 3626 seq/s — i.e. the
+    while-loop costs ~3 ms/step of real device overhead at B=256, more
+    than the ~1.7 ms/step of host dispatch gap it removes (traced device
+    68.6 ms vs 70.3 ms wall). Scan dispatch pays off only where steps are
+    small relative to dispatch (the B=16 bench and the trainer's
+    small-batch ``steps_per_dispatch`` path); see RESULTS.md."""
 
     def __init__(self, B=256, T=100, N=668, n_steps=20):
         self.B, self.n_steps = B, n_steps

@@ -46,7 +46,9 @@ def main():
                          "accumulation transfers gt/preds to host)")
     ap.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="K-step lax.scan dispatch on the device-resident "
-                         "path")
+                         "path; wins at small per-step device time (B<~128"
+                         " at this model scale), measured ~4%% SLOWER at "
+                         "B=256 (chained-step carry copies; RESULTS.md)")
     ap.add_argument("--no_stacked_scan", action="store_true",
                     help="disable cross-session scan groups (fall back to "
                          "per-session grouping) for A/B")
