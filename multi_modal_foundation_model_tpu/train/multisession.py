@@ -114,6 +114,13 @@ class MultiSessionTrainer(MultiModalTrainer):
         first = next(iter(train_loaders))
         total_batches = sum(len(l) for l in train_loaders.values())
         self._total_batches = total_batches
+        # session-mixed batches draw from one global trial pool, so an
+        # epoch is ceil(total_trials/B) steps — NOT the sum of per-session
+        # batch counts (which over-counts ragged per-session tails and
+        # would size the OneCycle schedule for steps that never run)
+        total_trials = sum(l.n_trials for l in train_loaders.values())
+        B = train_loaders[first].batch_size
+        self._mixed_batches = -(-total_trials // B)
         super().__init__(
             model, train_loaders[first], eval_loaders[first] if eval_loaders
             else None, optimizer_config, trainer_config,
@@ -121,6 +128,8 @@ class MultiSessionTrainer(MultiModalTrainer):
 
     # total steps must count every session's batches, not just the first's
     def _steps_per_epoch(self) -> int:
+        if self.tcfg.mixed_session_batches:
+            return self._mixed_batches
         return self._total_batches
 
     @_with_tp

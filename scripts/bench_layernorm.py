@@ -20,6 +20,7 @@ Usage: python scripts/bench_layernorm.py [--production] [--isolated]
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -31,8 +32,13 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_default_prng_impl", "rbg")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/mmfm_jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# same cache policy as scripts/_common.py: MMFM_COMPILE_CACHE= disables
+_cache_dir = os.environ.get("MMFM_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/mmfm_jax"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import multi_modal_foundation_model_tpu.ops.layernorm as lnmod
 

@@ -524,3 +524,37 @@ def test_mixed_session_batches_trainer(tmp_path):
     n_steps = round(out["train_loss"] / out["train_loss_avg"])
     assert n_steps == -(-total // 16)
     assert np.isfinite(res["best_eval_trial_avg_r2"])
+
+
+def test_mixed_session_steps_per_epoch_sizes_schedule():
+    """The OneCycle schedule must be sized to the steps the mixed epoch
+    actually runs — ceil(total_trials/B) — not the sum of per-session
+    batch counts, which over-counts every session's ragged tail (here
+    2 x ceil(38/16) = 6 vs the 5 executed; at 80 sessions x 100 trials the
+    gap is 80 vs 50 and the cosine anneal would stop at ~62%)."""
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=64)
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+
+    def build(mixed, tmp):
+        return MultiSessionTrainer(
+            model, train, val, OptimizerConfig(lr=1e-3, wd=0.01),
+            TrainerConfig(num_epochs=3, log_dir=tmp, seed=0,
+                          device_resident_data=True,
+                          mixed_session_batches=mixed),
+            region_table=None, eid_to_sid=meta["eid_to_sid"])
+
+    import tempfile
+    total = sum(l.n_trials for l in train.values())
+    per_session = sum(len(l) for l in train.values())
+    tr_mixed = build(True, tempfile.mkdtemp())
+    tr_plain = build(False, tempfile.mkdtemp())
+    assert tr_mixed._steps_per_epoch() == -(-total // 16) == 5
+    assert tr_plain._steps_per_epoch() == per_session == 6
+    # the schedule peaks/ends where the mixed run actually ends: its LR at
+    # the final executed step is the cycle's floor, not a mid-cycle value
+    last = 3 * tr_mixed._steps_per_epoch() - 1
+    lr_end = float(tr_mixed.schedule(last))
+    lr_peak = max(float(tr_mixed.schedule(s)) for s in range(last + 1))
+    assert lr_end < 0.05 * lr_peak
