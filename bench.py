@@ -30,6 +30,13 @@ luck. This bench:
   ``phase_factor`` = min(probe)/PROBE_NOMINAL_MS says how far the best
   session sits from the calibrated nominal clock, so cross-round
   comparisons can see session state explicitly.
+- (round 5) the HEADLINE ``value`` is the phase-NORMALIZED throughput:
+  per session ``value_nominal = raw x phase_factor``, headline = best
+  session's nominal. The raw measurement stays in ``value_raw``. This
+  applies the probe instead of merely reporting it (VERDICT r4 Weak #1):
+  the r1-r4 raw headline declined 3722->3628 across rounds while
+  within-process A/Bs showed real wins — all of it tunnel phase. In
+  nominal terms r4 = 3628 x 1.028 = 3730.
 - forces a device->host transfer after each pass: on this backend
   ``block_until_ready`` can return before execution completes, so only a
   value transfer is a reliable fence (measured: 30-iteration scan
@@ -343,8 +350,16 @@ def run_suite(full: bool) -> dict:
 
     b16_best, b16_mean, b16_cv, b16_drift = b16.report()
     seq_best, seq_mean, mfu, mfu_model, flops, b256_drift = b256.report()
+    phase = float(min(probe_ms) / PROBE_NOMINAL_MS)
     return {
         "value": round(seq_best, 2),
+        # phase-normalized throughput (VERDICT r4 ask #2): the frozen VPU
+        # probe says how far this session's clock sits from the calibrated
+        # nominal (phase_factor > 1 = slower session); multiplying projects
+        # the measurement to nominal phase so rounds compare performance,
+        # not session luck. Definition FROZEN with the probe.
+        "value_nominal": round(seq_best * phase, 2),
+        "b16_nominal": round(b16_best * phase, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "mfu_model": round(mfu_model, 4) if mfu_model is not None else None,
         "b256_passes_mean": round(seq_mean, 2),
@@ -371,7 +386,13 @@ def main():
         return
 
     sessions = [run_suite(full=True)]
-    for _ in range(N_WORKER_SESSIONS):
+    for i in range(N_WORKER_SESSIONS):
+        # spread sessions over the bench's runtime instead of back-to-back
+        # (r4 measured back-to-back sessions within 0.16% of each other —
+        # no decorrelation); normalization above is the primary fix, the
+        # spacing just buys the sampler a chance at a different phase
+        if i > 0:
+            time.sleep(120)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
@@ -387,27 +408,37 @@ def main():
             import traceback
             traceback.print_exc()
 
-    best = max(sessions, key=lambda s: s["value"])
+    # HEADLINE (round 5, VERDICT r4 ask #2): the phase-NORMALIZED best
+    # session — raw best × its phase_factor — so the driver-visible trend
+    # tracks real performance instead of tunnel session state. The raw
+    # measurement stays in ``value_raw``/``b256_sessions_raw``. A
+    # regression in ``value`` is now a real regression.
+    best = max(sessions, key=lambda s: s["value_nominal"])
     # the phase can affect the two shapes differently (VPU-bound work
     # scales with it, the rest doesn't), so each headline takes ITS OWN
     # best session — b16 from the b256-best session would re-import the
     # session luck this sampling exists to remove
-    best_b16 = max(sessions, key=lambda s: s["b16_seq_per_sec"])
+    best_b16 = max(sessions, key=lambda s: s["b16_nominal"])
     in_loop = sessions[0]["in_loop_seq_per_sec"]
 
     result = dict(best)
     result.update({k: best_b16[k] for k in
-                   ("b16_seq_per_sec", "b16_passes_mean", "b16_cv",
-                    "b16_pass_drift")})
+                   ("b16_seq_per_sec", "b16_nominal", "b16_passes_mean",
+                    "b16_cv", "b16_pass_drift")})
     result.update({
-        "metric": "pretrain_sequences_per_sec_per_chip",
+        "metric": "pretrain_sequences_per_sec_per_chip_nominal",
+        "value": best["value_nominal"],
+        "value_raw": best["value"],
         "unit": "seq/s/chip",
-        "vs_baseline": round(best["value"] / BASELINE_SEQ_PER_SEC, 2),
+        "vs_baseline": round(best["value_nominal"] / BASELINE_SEQ_PER_SEC,
+                             2),
         "in_loop_seq_per_sec": in_loop,
-        "b256_sessions": [s["value"] for s in sessions],
-        "b16_sessions": [s["b16_seq_per_sec"] for s in sessions],
+        "b256_sessions_nominal": [s["value_nominal"] for s in sessions],
+        "b256_sessions_raw": [s["value"] for s in sessions],
+        "b16_sessions_raw": [s["b16_seq_per_sec"] for s in sessions],
         "session_phase_factors": [s["phase_factor"] for s in sessions],
     })
+    result.pop("value_nominal", None)
     # keep the driver-contract keys first for readability
     ordered = {k: result.pop(k) for k in
                ("metric", "value", "unit", "vs_baseline")}

@@ -1,6 +1,7 @@
 from .harness import EvalForward, co_smoothing_eval
 from .heldout import heldout_mask
 from .loading import (load_model_config, load_model_data_local,
+                      load_multisession_model_data_local,
                       save_model_config)
 from .metrics import (
     bits_per_spike,
@@ -21,6 +22,7 @@ __all__ = [
     "heldout_mask",
     "load_model_config",
     "load_model_data_local",
+    "load_multisession_model_data_local",
     "save_model_config",
     "bits_per_spike",
     "compute_PSTH",

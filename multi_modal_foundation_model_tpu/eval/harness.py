@@ -56,9 +56,16 @@ from .metrics import (bits_per_spike, create_behavior_conditions,
 # ---------------------------------------------------------------------------
 
 class EvalForward:
-    """One jitted full-test-set forward + a chunked-vmap channel sweep."""
+    """One jitted full-test-set forward + a chunked-vmap channel sweep.
 
-    def __init__(self, model, params, batch, chunk: int = 16):
+    ``session_id`` (scalar) routes the forward through a session-stitched
+    model's per-session tokenizer/head (``models/multimodal.py`` with
+    ``n_sessions > 1``) — each session's test split is evaluated with its
+    own stitched parameters, exactly as it trained. ``None`` keeps the
+    single-session path."""
+
+    def __init__(self, model, params, batch, chunk: int = 16,
+                 session_id=None):
         self.model = model
         self.params = params
         self.chunk = chunk
@@ -66,6 +73,8 @@ class EvalForward:
         self.behavior = jnp.asarray(batch["target"])         # (K, T, C)
         self.attn = jnp.asarray(batch["time_attn_mask"])
         self.ts = jnp.asarray(batch["spikes_timestamps"])
+        self.session_id = (None if session_id is None
+                           else jnp.asarray(session_id, jnp.int32))
         self._fwd = jax.jit(self._forward)
         self._sweep = None
 
@@ -81,7 +90,7 @@ class EvalForward:
                 eval_mask=beh_eval),
         }
         out = self.model.apply({"params": self.params}, mod_inputs,
-                               training=False)
+                               training=False, session_id=self.session_id)
         return out.mod_preds["ap"], out.mod_preds["behavior"]
 
     # -- single forward ---------------------------------------------------
@@ -197,9 +206,16 @@ def co_smoothing_eval(
     chunk: int = 16,
     save_plot: bool = False,
     max_plots: int = 20,
+    session_id=None,
 ) -> Dict[str, Any]:
     """Run one eval mode over the full test split; returns the metric dict
-    and saves ``bps.npy``/``r2.npy`` under ``save_path``."""
+    and saves ``bps.npy``/``r2.npy`` under ``save_path``.
+
+    ``session_id``: scalar stitched-parameter index for session-stitched
+    (``n_sessions > 1``) models — required there, ignored otherwise. The
+    reference applies this instrument to every model it trains
+    (``eval_utils.py:37-83``); this argument extends it to the stitched
+    multi-session flagship, one session per call."""
     batch = _first_batch(test_dataloader)
     T = n_time_steps
     N = _real_n(batch)
@@ -213,7 +229,8 @@ def co_smoothing_eval(
     else:
         X = var_name2idx = var_tasklist = None
 
-    fwd = EvalForward(model, params, batch, chunk=chunk)
+    fwd = EvalForward(model, params, batch, chunk=chunk,
+                      session_id=session_id)
     N_total = spikes.shape[-1]
 
     n_plotted = [0]

@@ -73,6 +73,61 @@ def load_model_data_local(
     return model, params, loader
 
 
+def load_multisession_model_data_local(
+    *,
+    model_dir: str,
+    test_sessions: Dict[str, SessionData],
+    checkpoint_name: str = "best",
+    max_time_length: int = 100,
+    seed: int = 42,
+) -> Tuple[MultiModal, Dict[str, Any], Dict[str, DataLoader],
+           Dict[str, int]]:
+    """Multi-session analog of :func:`load_model_data_local`.
+
+    Loads a session-stitched checkpoint (``n_sessions > 1``) together with
+    its ``sessions.json`` sidecar (written by ``train_multi_session.py``)
+    and returns ``(model, params, {eid: full-test-set loader}, eid_to_sid)``
+    — one loader per session, every session padded to the checkpoint's
+    ``N_max`` so the stitched forward runs at its trained width. The eval
+    harness then scores each session with ``session_id=eid_to_sid[eid]``.
+
+    The reference applies its eval instrument per trained model
+    (``/root/reference/src/utils/eval_utils.py:37-83``); multi-session
+    stitching is framework-new, so this loader is its eval-side contract.
+    """
+    config = load_model_config(model_dir)
+    if config.n_sessions <= 1:
+        raise ValueError(
+            f"{model_dir} holds a single-session checkpoint "
+            "(n_sessions=1); use load_model_data_local")
+    config = dataclasses.replace(
+        config,
+        mask_params=dataclasses.replace(config.mask_params, ratio=0.0),
+        force_active=False)
+    model = MultiModal(config)
+    tree = restore_checkpoint(model_dir, checkpoint_name)
+    params = tree["params"]
+
+    with open(os.path.join(model_dir, "sessions.json")) as f:
+        meta = json.load(f)
+    eid_to_sid = {e: i for i, e in enumerate(meta["eids"])}
+    n_max = int(meta["n_max"])
+
+    missing = set(test_sessions) - set(eid_to_sid)
+    if missing:
+        raise ValueError(
+            f"sessions {sorted(missing)} not in the checkpoint's "
+            f"sessions.json (trained eids: {meta['eids']})")
+
+    loaders = {
+        eid: make_loader(
+            sess, batch_size=sess.n_trials,
+            max_time_length=max_time_length, max_space_length=n_max,
+            shuffle=False, seed=seed)
+        for eid, sess in test_sessions.items()}
+    return model, params, loaders, eid_to_sid
+
+
 def load_reference_checkpoint(
     path: str,
     n_channels: Dict[str, int],

@@ -208,14 +208,41 @@ def _dense(features: int, fan_in: int, use_bias: bool = True,
 # where the 1 GB of residuals forces rematerialization elsewhere.
 REPLAY_DROPOUT = False
 
+# u8-threshold keep-mask generation (VERDICT r4 ask #7): jax.random's
+# bernoulli converts u32 bits to f32 and compares against the rate —
+# measured 39 us/site at (256,200,256); thresholding 8 random bits per
+# element on the integer lanes instead measured 21 us/site (~2x), a
+# ~0.3-0.5 ms/step lever across the model's ~13 live dropout sites.
+# Trade-offs, why it is DEFAULT OFF:
+# - the keep probability quantizes to round((1-rate)*256)/256 (within
+#   1/512 of exact; survivors are rescaled by the exact quantized
+#   probability so the estimator stays unbiased);
+# - the keep-mask RNG STREAM CHANGES (bits vs bernoulli draw), so
+#   flipping the flag changes training trajectories — same contract as
+#   the in-kernel attention dropout's own stream.
+# Distribution parity + unbiasedness: tests/test_models.py
+# (test_u8_dropout_*); whole-step A/B: RESULTS.md round 5.
+U8_DROPOUT_BITS = False
+
+
+def _dropout_keep(key, rate: float, shape):
+    """(keep mask, survivor scale) for one dropout site under the active
+    bit-generation policy (see ``U8_DROPOUT_BITS``)."""
+    if not U8_DROPOUT_BITS:
+        return jax.random.bernoulli(key, 1.0 - rate, shape), 1.0 / (1.0 - rate)
+    t = int(round(rate * 256.0))            # drop iff bits < t
+    keep_p = (256 - t) / 256.0              # exact quantized keep prob
+    bits = jax.random.bits(key, shape, dtype=jnp.uint8)
+    return bits >= np.uint8(t), 1.0 / keep_p
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _replay_dropout(x, key, rate: float):
     """nn.Dropout math (bernoulli keep at 1-rate, inverse-scale survivors)
     with a zero-residual VJP: only ``key`` is saved; backward replays the
     identical draw."""
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jax.lax.select(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    keep, scale = _dropout_keep(key, rate, x.shape)
+    return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
 
 
 def _replay_dropout_fwd(x, key, rate: float):
@@ -223,8 +250,8 @@ def _replay_dropout_fwd(x, key, rate: float):
 
 
 def _replay_dropout_bwd(rate: float, key, g):
-    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
-    dx = jax.lax.select(keep, g / (1.0 - rate), jnp.zeros_like(g))
+    keep, scale = _dropout_keep(key, rate, g.shape)
+    dx = jax.lax.select(keep, g * scale, jnp.zeros_like(g))
     return dx, np.zeros(key.shape, dtype=jax.dtypes.float0)
 
 
@@ -246,9 +273,8 @@ class ReplayDropout(nn.Module):
             return jnp.zeros_like(x)
         key = self.make_rng("dropout")
         if not REPLAY_DROPOUT:
-            keep = jax.random.bernoulli(key, 1.0 - self.rate, x.shape)
-            return jax.lax.select(keep, x / (1.0 - self.rate),
-                                  jnp.zeros_like(x))
+            keep, scale = _dropout_keep(key, self.rate, x.shape)
+            return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
         return _replay_dropout(x, key, self.rate)
 
 

@@ -106,14 +106,44 @@ class TrainerConfig:
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":
+        """Build from a loaded trainer YAML (trainer_mm.yaml semantics).
+
+        Every documented trainer knob is wired — a YAML alone can express
+        a production run; entry-script kwargs remain pure overrides.
+        Reference-parity keys live under ``training:`` (the reference reads
+        them at ``trainer/base.py:37-48``); framework-extension keys
+        (device_resident_data, steps_per_dispatch, ...) read from the same
+        block with their dataclass defaults."""
         t = cfg.training
+        eval_every = t.get("eval_every", None)
         kw = dict(
             num_epochs=int(t.num_epochs),
             mask_type=str(t.get("mask_type", "embd")),
             mask_mode=tuple(t.get("mask_mode", ["temporal"])),
+            mixed_training=bool(t.get("mixed_training", False)),
             save_every=int(t.get("save_every", 100)),
+            # reference yaml uses null for "every epoch"
+            eval_every=int(eval_every) if eval_every is not None else 1,
+            save_plot_every_n_epochs=int(
+                t.get("save_plot_every_n_epochs", 0) or 0),
+            metric=str(t.get("metric", "r2")),
             seed=int(cfg.get("seed", 42)),
+            device_resident_data=bool(t.get("device_resident_data", False)),
+            prefetch_depth=int(t.get("prefetch_depth", 0)),
+            steps_per_dispatch=int(t.get("steps_per_dispatch", 1)),
+            stacked_scan=bool(t.get("stacked_scan", True)),
+            mixed_session_batches=bool(
+                t.get("mixed_session_batches", False)),
         )
+        masker = (cfg.get("model", {}) or {}).get("masker", None)
+        if masker is not None:
+            kw["mask_regions"] = tuple(masker.get("mask_regions", ["all"])
+                                       or ["all"])
+            kw["target_regions"] = tuple(masker.get("target_regions", ["all"])
+                                         or ["all"])
+        dirs = cfg.get("dirs", None)
+        if dirs is not None and dirs.get("log_dir"):
+            kw["log_dir"] = str(dirs["log_dir"])
         kw.update(overrides)
         return cls(**kw)
 

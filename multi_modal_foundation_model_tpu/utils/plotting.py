@@ -17,40 +17,41 @@ import numpy as np  # noqa: E402
 from ..eval.metrics import r2_score_nanable  # noqa: E402
 
 
+# The two wandb in-loop diagnostics below keep the reference figures'
+# CONTENT (same panels, titles, colors — dashboard continuity for users
+# migrating runs) but are structured around a shared panel table rather
+# than the reference's unrolled per-axis statements.
+
 def plot_gt_pred(gt: np.ndarray, pred: np.ndarray, epoch: int = 0,
                  modality: str = "behavior"):
     """Side-by-side ground-truth / prediction heatmaps."""
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 5))
-    ax1.set_title("Ground Truth")
-    im1 = ax1.imshow(np.asarray(gt), aspect="auto", cmap="binary")
-    ax2.set_title("Prediction")
-    im2 = ax2.imshow(np.asarray(pred), aspect="auto", cmap="binary")
-    plt.colorbar(im1, ax=ax1)
-    plt.colorbar(im2, ax=ax2)
+    panels = {"Ground Truth": np.asarray(gt), "Prediction": np.asarray(pred)}
+    fig, axes = plt.subplots(1, len(panels), figsize=(12, 5))
+    for ax, (title, mat) in zip(axes, panels.items()):
+        image = ax.imshow(mat, aspect="auto", cmap="binary")
+        ax.set_title(title)
+        fig.colorbar(image, ax=ax)
     fig.suptitle(f"Epoch: {epoch}, Mod: {modality}")
     return fig
 
 
 def plot_neurons_r2(gt: np.ndarray, pred: np.ndarray, epoch: int = 0,
                     neuron_idx: Sequence[int] = (), modality: str = "behavior"):
-    """Per-neuron GT-vs-pred traces with R² annotations."""
+    """Per-neuron GT-vs-pred traces with R² annotations, one row per unit."""
     gt, pred = np.asarray(gt), np.asarray(pred)
-    neuron_idx = list(neuron_idx)
-    fig, axes = plt.subplots(len(neuron_idx), 1,
-                             figsize=(12, 5 * len(neuron_idx)))
-    r2_values = []
-    for neuron in neuron_idx:
-        r2 = r2_score_nanable(gt[:, neuron], pred[:, neuron])
-        r2_values.append(r2)
-        ax = axes if len(neuron_idx) == 1 else axes[neuron_idx.index(neuron)]
-        ax.plot(gt[:, neuron], label="Ground Truth", color="blue")
-        ax.plot(pred[:, neuron], label="Prediction", color="red")
-        ax.set_title(f"Neuron: {neuron}, R2: {r2:.4f}")
+    units = list(neuron_idx)
+    scores = [r2_score_nanable(gt[:, u], pred[:, u]) for u in units]
+    fig, axes = plt.subplots(len(units), 1, figsize=(12, 5 * len(units)),
+                             squeeze=False)
+    traces = (("Ground Truth", gt, "blue"), ("Prediction", pred, "red"))
+    for ax, unit, r2 in zip(axes[:, 0], units, scores):
+        for label, series, color in traces:
+            ax.plot(series[:, unit], label=label, color=color)
+        ax.set(title=f"Neuron: {unit}, R2: {r2:.4f}",
+               xlabel="Time", ylabel="Rate")
         ax.legend()
-        ax.set_xlabel("Time")
-        ax.set_ylabel("Rate")
     fig.suptitle(f"Epoch: {epoch}, Mod: {modality}, "
-                 f"Avg R2: {np.nanmean(r2_values):.4f}")
+                 f"Avg R2: {np.nanmean(scores):.4f}")
     return fig
 
 

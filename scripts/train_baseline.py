@@ -68,10 +68,8 @@ def main():
     train_loader = make_loader(splits.train, **lkw)
     val_loader = make_loader(splits.val, shuffle=False, **lkw)
 
-    tcfg = TrainerConfig(
-        num_epochs=int(config.training.num_epochs),
-        save_every=int(config.training.save_every),
-        seed=args.seed, log_dir=log_dir)
+    tcfg = TrainerConfig.from_config(config, seed=args.seed,
+                                     log_dir=log_dir)
     ocfg = OptimizerConfig.from_config(config.optimizer)
     logger = MetricLogger(log_dir, use_wandb=bool(config.wandb.use),
                           wandb_project=config.wandb.project,

@@ -81,15 +81,15 @@ def main():
         mask_type = str(config.training.mask_type)
         mask_mode = tuple(config.training.mask_mode)
 
-    tcfg = TrainerConfig(
-        num_epochs=int(config.training.num_epochs),
-        mask_type=mask_type,
-        mask_mode=mask_mode,
-        mixed_training=args.mixed_training,
-        save_every=int(config.training.save_every),
-        seed=args.seed,
-        log_dir=log_dir,
-        device_resident_data=args.device_resident)
+    # YAML-first: from_config reads every trainer knob (eval cadence,
+    # plot cadence, runtime extensions); CLI flags override only when set
+    overrides = dict(mask_type=mask_type, mask_mode=mask_mode,
+                     seed=args.seed, log_dir=log_dir)
+    if args.mixed_training:
+        overrides["mixed_training"] = True
+    if args.device_resident:
+        overrides["device_resident_data"] = True
+    tcfg = TrainerConfig.from_config(config, **overrides)
     ocfg = OptimizerConfig.from_config(config.optimizer)
     logger = MetricLogger(log_dir, use_wandb=bool(config.wandb.use),
                           wandb_project=config.wandb.project,

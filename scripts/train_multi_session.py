@@ -112,18 +112,24 @@ def main():
 
     mask_mode = (("inter-region", "intra-region", "neuron", "temporal")
                  if args.use_MtM else tuple(config.training.mask_mode))
-    tcfg = TrainerConfig(
-        num_epochs=int(config.training.num_epochs),
+    # YAML-first (TrainerConfig.from_config reads every knob); CLI flags
+    # override only when explicitly set away from their argparse defaults
+    overrides = dict(
         mask_type="input" if args.use_MtM else str(config.training.mask_type),
-        mask_mode=mask_mode,
-        mixed_training=args.mixed_training,
-        save_every=int(config.training.save_every),
-        seed=args.seed, log_dir=log_dir,
-        device_resident_data=args.device_resident,
-        eval_every=args.eval_every,
-        steps_per_dispatch=args.steps_per_dispatch,
-        stacked_scan=not args.no_stacked_scan,
-        mixed_session_batches=args.mixed_session_batches)
+        mask_mode=mask_mode, seed=args.seed, log_dir=log_dir)
+    if args.mixed_training:
+        overrides["mixed_training"] = True
+    if args.device_resident:
+        overrides["device_resident_data"] = True
+    if args.eval_every != 1:
+        overrides["eval_every"] = args.eval_every
+    if args.steps_per_dispatch != 1:
+        overrides["steps_per_dispatch"] = args.steps_per_dispatch
+    if args.no_stacked_scan:
+        overrides["stacked_scan"] = False
+    if args.mixed_session_batches:
+        overrides["mixed_session_batches"] = True
+    tcfg = TrainerConfig.from_config(config, **overrides)
 
     trainer = MultiSessionTrainer(
         model, train, val, OptimizerConfig.from_config(config.optimizer),

@@ -365,3 +365,69 @@ def test_baseline_exact_resume(tmp_path):
                     jax.tree_util.tree_leaves(p_res)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_trainer_config_from_yaml_complete(tmp_path):
+    """A YAML alone expresses every trainer knob (VERDICT r4 ask #8):
+    from_config must wire eval cadence, mixed_training, device-resident,
+    dispatch batching, plot cadence, masker regions, and log_dir — not just
+    the 5 historically-read keys."""
+    from multi_modal_foundation_model_tpu.config import load_config
+    from multi_modal_foundation_model_tpu.train import TrainerConfig
+
+    yaml_path = tmp_path / "trainer.yaml"
+    yaml_path.write_text("""
+seed: 7
+dirs:
+  log_dir: /tmp/yaml_run
+training:
+  num_epochs: 12
+  mask_type: input
+  mask_mode: [neuron, temporal]
+  mixed_training: true
+  save_every: 3
+  eval_every: 4
+  save_plot_every_n_epochs: 5
+  metric: rsquared
+  device_resident_data: true
+  prefetch_depth: 2
+  steps_per_dispatch: 8
+  stacked_scan: false
+  mixed_session_batches: true
+model:
+  masker:
+    mask_regions: [CA1, DG]
+    target_regions: [LP]
+""")
+    tcfg = TrainerConfig.from_config(load_config(str(yaml_path)))
+    assert tcfg.num_epochs == 12
+    assert tcfg.mask_type == "input"
+    assert tcfg.mask_mode == ("neuron", "temporal")
+    assert tcfg.mixed_training is True
+    assert tcfg.save_every == 3
+    assert tcfg.eval_every == 4
+    assert tcfg.save_plot_every_n_epochs == 5
+    assert tcfg.metric == "rsquared"
+    assert tcfg.seed == 7
+    assert tcfg.log_dir == "/tmp/yaml_run"
+    assert tcfg.device_resident_data is True
+    assert tcfg.prefetch_depth == 2
+    assert tcfg.steps_per_dispatch == 8
+    assert tcfg.stacked_scan is False
+    assert tcfg.mixed_session_batches is True
+    assert tcfg.mask_regions == ("CA1", "DG")
+    assert tcfg.target_regions == ("LP",)
+
+
+def test_trainer_config_from_default_yaml_matches_defaults():
+    """The shipped trainer_mm.yaml + defaults == the dataclass defaults the
+    entry scripts assume (eval_every: null means every epoch)."""
+    from multi_modal_foundation_model_tpu.config import (
+        default_config_path, load_config)
+    from multi_modal_foundation_model_tpu.train import TrainerConfig
+
+    cfg = load_config(default_config_path("multi_modal/trainer_mm.yaml"))
+    tcfg = TrainerConfig.from_config(cfg, log_dir="x")
+    ref = TrainerConfig(num_epochs=2000, save_plot_every_n_epochs=5,
+                        log_dir="x")
+    assert tcfg == ref
