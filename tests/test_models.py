@@ -422,3 +422,60 @@ def test_replay_dropout_matches_saved_mask(monkeypatch):
                                   np.asarray(l_nn))
     np.testing.assert_array_equal(np.asarray(outs[False][1]),
                                   np.asarray(g_nn))
+
+
+def test_u8_dropout_keep_rate_and_unbiasedness(monkeypatch):
+    """U8_DROPOUT_BITS switch (models/layers.py): the u8-threshold keep
+    mask matches its quantized keep probability round((1-rate)*256)/256
+    (binomial tolerance) and the survivor rescale keeps the estimator
+    unbiased: E[dropout(x)] == x under both bit policies."""
+    from multi_modal_foundation_model_tpu.models import layers
+
+    rate = 0.4
+    n = 200_000
+    x = jnp.ones((n,))
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(layers, "U8_DROPOUT_BITS", flag)
+        y = layers.ReplayDropout(rate).apply(
+            {}, x, deterministic=False, rngs={"dropout": key})
+        outs[flag] = np.asarray(y)
+
+    # u8 path: keep probability is exactly (256 - round(rate*256))/256
+    t = int(round(rate * 256))
+    keep_p = (256 - t) / 256.0
+    kept = outs[True] != 0.0
+    se = np.sqrt(keep_p * (1 - keep_p) / n)
+    assert abs(kept.mean() - keep_p) < 5 * se
+    # survivors carry the exact quantized inverse scale -> unbiased mean
+    np.testing.assert_allclose(outs[True][kept], 1.0 / keep_p, rtol=1e-6)
+    assert abs(outs[True].mean() - 1.0) < 5 * se / keep_p
+    # default path unchanged: bernoulli at exactly 1-rate, scale 1/(1-rate)
+    kept0 = outs[False] != 0.0
+    np.testing.assert_allclose(outs[False][kept0], 1.0 / (1 - rate),
+                               rtol=1e-6)
+    assert abs(kept0.mean() - (1 - rate)) < 5 * se
+    # the two policies draw DIFFERENT streams (documented contract)
+    assert (kept != kept0).any()
+
+
+def test_u8_dropout_replay_backward_matches_forward_mask(monkeypatch):
+    """With U8_DROPOUT_BITS on, the replay VJP regenerates the identical
+    u8 keep mask: grad nonzero exactly where the output is."""
+    from multi_modal_foundation_model_tpu.models import layers
+
+    monkeypatch.setattr(layers, "U8_DROPOUT_BITS", True)
+    monkeypatch.setattr(layers, "REPLAY_DROPOUT", True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 33))
+    key = jax.random.PRNGKey(7)
+    mod = layers.ReplayDropout(0.4)
+
+    def loss(xx):
+        return jnp.sum(mod.apply({}, xx, deterministic=False,
+                                 rngs={"dropout": key}))
+
+    y = mod.apply({}, x, deterministic=False, rngs={"dropout": key})
+    g = jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(y != 0), np.asarray(g != 0))
