@@ -226,14 +226,16 @@ U8_DROPOUT_BITS = False
 
 
 def _dropout_keep(key, rate: float, shape):
-    """(keep mask, survivor scale) for one dropout site under the active
-    bit-generation policy (see ``U8_DROPOUT_BITS``)."""
+    """(keep mask, exact keep probability) for one dropout site under the
+    active bit-generation policy (see ``U8_DROPOUT_BITS``). Callers divide
+    survivors by the keep probability — division keeps the default path
+    bit-identical to ``nn.Dropout`` and the u8 path unbiased."""
     if not U8_DROPOUT_BITS:
-        return jax.random.bernoulli(key, 1.0 - rate, shape), 1.0 / (1.0 - rate)
+        return jax.random.bernoulli(key, 1.0 - rate, shape), 1.0 - rate
     t = int(round(rate * 256.0))            # drop iff bits < t
     keep_p = (256 - t) / 256.0              # exact quantized keep prob
     bits = jax.random.bits(key, shape, dtype=jnp.uint8)
-    return bits >= np.uint8(t), 1.0 / keep_p
+    return bits >= np.uint8(t), keep_p
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -241,8 +243,8 @@ def _replay_dropout(x, key, rate: float):
     """nn.Dropout math (bernoulli keep at 1-rate, inverse-scale survivors)
     with a zero-residual VJP: only ``key`` is saved; backward replays the
     identical draw."""
-    keep, scale = _dropout_keep(key, rate, x.shape)
-    return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
+    keep, keep_p = _dropout_keep(key, rate, x.shape)
+    return jax.lax.select(keep, x / keep_p, jnp.zeros_like(x))
 
 
 def _replay_dropout_fwd(x, key, rate: float):
@@ -250,8 +252,8 @@ def _replay_dropout_fwd(x, key, rate: float):
 
 
 def _replay_dropout_bwd(rate: float, key, g):
-    keep, scale = _dropout_keep(key, rate, g.shape)
-    dx = jax.lax.select(keep, g * scale, jnp.zeros_like(g))
+    keep, keep_p = _dropout_keep(key, rate, g.shape)
+    dx = jax.lax.select(keep, g / keep_p, jnp.zeros_like(g))
     return dx, np.zeros(key.shape, dtype=jax.dtypes.float0)
 
 
@@ -273,8 +275,8 @@ class ReplayDropout(nn.Module):
             return jnp.zeros_like(x)
         key = self.make_rng("dropout")
         if not REPLAY_DROPOUT:
-            keep, scale = _dropout_keep(key, self.rate, x.shape)
-            return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
+            keep, keep_p = _dropout_keep(key, self.rate, x.shape)
+            return jax.lax.select(keep, x / keep_p, jnp.zeros_like(x))
         return _replay_dropout(x, key, self.rate)
 
 
