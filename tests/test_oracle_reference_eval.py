@@ -276,3 +276,146 @@ def test_oracle_modal_behavior(shared, tmp_path):
     assert set(ref_d) == set(our_d)
     for key in ref_d:
         _assert_close(f"{mode} {key}", ref_d[key], our_d[key])
+
+
+# ---------------------------------------------------------------------------
+# Full-size oracle (VERDICT r4 ask #5): the single-forward modes at the
+# reference's production geometry — B=16, T=100, N=668, 5+5 layers, H=256
+# (the shape the headline metrics are reported at). One reference forward
+# each, so CPU-feasible; marked slow (minutes, not seconds).
+# ---------------------------------------------------------------------------
+
+FB, FT, FN = 16, 100, 668
+FULL_SIZES = dict(max_F=FT, hidden_size=256, n_layers=5, n_heads=8,
+                  inter_size=512)
+FULL_REGIONS = np.concatenate([
+    np.repeat(["LP", "CA1", "PO", "DG", "VISa"], 128),
+    np.repeat(["root"], FN - 5 * 128)])
+
+
+@pytest.fixture(scope="module")
+def shared_full(ref_eval):
+    """Full-geometry twin of ``shared`` (reference model + converted flax
+    params + one shared batch)."""
+    ref_modules = {
+        "config_utils": importlib.import_module("utils.config_utils"),
+        "mm": importlib.import_module("multi_modal.mm"),
+        "enc_emb": importlib.import_module("multi_modal.encoder_embeddings"),
+        "dec_emb": importlib.import_module("multi_modal.decoder_embeddings"),
+    }
+    ref_model = tpr.build_ref_model(ref_modules, FN, N_BEH, **FULL_SIZES)
+    ref_model.masker.ratio = 0
+    ref_model.masker.mask_regions = []
+    ref_model.masker.target_regions = []
+    flax_model = tpr.build_flax_model(FN, N_BEH, **FULL_SIZES)
+    params = tpr.converted_params(ref_model, FULL_SIZES["n_layers"])
+
+    rng = np.random.default_rng(11)
+    spikes = rng.poisson(0.6, (FB, FT, FN)).astype("float32")
+    behavior = rng.normal(size=(FB, FT, N_BEH)).astype("float32")
+    attn = np.ones((FB, FT), dtype="int64")
+    ts = np.tile(np.arange(FT, dtype="int64"), (FB, 1))
+    choice = rng.choice([-1.0, 1.0], FB).astype("float32")
+    reward = rng.choice([0.0, 1.0], FB).astype("float32")
+    block = rng.choice([0.2, 0.5, 0.8], FB).astype("float32")
+
+    torch_batch = {
+        "spikes_data": torch.tensor(spikes),
+        "time_attn_mask": torch.tensor(attn),
+        "space_attn_mask": torch.ones((FB, FN), dtype=torch.int64),
+        "spikes_timestamps": torch.tensor(ts),
+        "target": torch.tensor(behavior),
+        "neuron_regions": np.tile(FULL_REGIONS[:, None], (1, FB)),
+        "eid": ["oracle-full"] * FB,
+        "choice": torch.tensor(choice),
+        "reward": torch.tensor(reward),
+        "block": torch.tensor(block),
+    }
+    np_batch = {
+        "spikes_data": spikes,
+        "time_attn_mask": attn,
+        "space_attn_mask": np.ones((FB, FN), dtype="int64"),
+        "spikes_timestamps": ts,
+        "target": behavior,
+        "neuron_regions": FULL_REGIONS,
+        "eid": "oracle-full",
+        "choice": choice,
+        "reward": reward,
+        "block": block,
+    }
+    test_dataset = {
+        "cluster_uuids": [[f"uuid{i:04d}" for i in range(FN)]],
+        "cluster_regions": [list(FULL_REGIONS)],
+        "choice": choice,
+        "reward": reward,
+        "block": block,
+    }
+    return dict(ref_eval=ref_eval, ref_model=ref_model,
+                flax_model=flax_model, params=params,
+                torch_batch=torch_batch, np_batch=np_batch,
+                test_dataset=test_dataset)
+
+
+def _full_kwargs(mode, save_path):
+    return dict(method_name="oracle", mode=mode, is_aligned=True,
+                target_regions=["all"], n_time_steps=FT,
+                held_out_list=list(range(FT)), save_path=str(save_path),
+                subtract="task", onset_alignment=[5], avail_beh=AVAIL_BEH,
+                n_jobs=1)
+
+
+@pytest.mark.slow
+def test_oracle_full_shape_modal_spike(shared_full, tmp_path):
+    accelerator = types.SimpleNamespace(device=torch.device("cpu"))
+    ref_res = shared_full["ref_eval"].co_smoothing_eval(
+        shared_full["ref_model"], accelerator,
+        [shared_full["torch_batch"]], shared_full["test_dataset"],
+        save_plot=False, use_mtm=False,
+        **_full_kwargs("modal_spike", tmp_path / "ref"))
+
+    from multi_modal_foundation_model_tpu.eval.harness import \
+        co_smoothing_eval
+    our_res = co_smoothing_eval(
+        shared_full["flax_model"], shared_full["params"],
+        [shared_full["np_batch"]], mode="modal_spike", use_mtm=False,
+        save_path=str(tmp_path / "ours"), method_name="oracle",
+        is_aligned=True, target_regions=("all",), n_time_steps=FT,
+        held_out_list=list(range(FT)), avail_beh=AVAIL_BEH,
+        subtract="task", onset_alignment=[5])
+
+    ref_bps = np.load(tmp_path / "ref" / "bps.npy", allow_pickle=True)
+    our_bps = np.load(tmp_path / "ours" / "bps.npy", allow_pickle=True)
+    ref_r2 = np.load(tmp_path / "ref" / "r2.npy", allow_pickle=True)
+    our_r2 = np.load(tmp_path / "ours" / "r2.npy", allow_pickle=True)
+    assert ref_bps.shape == (FN,) and our_bps.shape == (FN,)
+    _assert_close("full modal_spike bps", ref_bps, our_bps)
+    _assert_close("full modal_spike r2", ref_r2, our_r2)
+    for key in ref_res:
+        _assert_close(f"full modal_spike result[{key}]",
+                      ref_res[key], our_res[key])
+
+
+@pytest.mark.slow
+def test_oracle_full_shape_modal_behavior(shared_full, tmp_path):
+    accelerator = types.SimpleNamespace(device=torch.device("cpu"))
+    ref_res = shared_full["ref_eval"].co_smoothing_eval(
+        shared_full["ref_model"], accelerator,
+        [shared_full["torch_batch"]], shared_full["test_dataset"],
+        save_plot=False, use_mtm=False,
+        **_full_kwargs("modal_behavior", tmp_path / "ref"))
+
+    from multi_modal_foundation_model_tpu.eval.harness import \
+        co_smoothing_eval
+    our_res = co_smoothing_eval(
+        shared_full["flax_model"], shared_full["params"],
+        [shared_full["np_batch"]], mode="modal_behavior", use_mtm=False,
+        save_path=str(tmp_path / "ours"), method_name="oracle",
+        is_aligned=True, target_regions=("all",), n_time_steps=FT,
+        held_out_list=list(range(FT)), avail_beh=AVAIL_BEH,
+        subtract="task", onset_alignment=[5])
+
+    ref_d = ref_res["modal_behavior_behav_results"]
+    our_d = our_res["modal_behavior_behav_results"]
+    assert set(ref_d) == set(our_d)
+    for key in ref_d:
+        _assert_close(f"full modal_behavior {key}", ref_d[key], our_d[key])
