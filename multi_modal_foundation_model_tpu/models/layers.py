@@ -635,10 +635,21 @@ class SessionStitchedTokenizer(nn.Module):
         W = self.param("token_embed_kernel", kernel_init, (S, N, inter))
         b = self.param("token_embed_bias", kernel_init, (S, inter)) \
             if self.use_bias else None
+        # width-bucketed inputs (train/multisession.py): a session whose
+        # bucket pads to N_in < N_max runs the SAME math on a static slice
+        # of the stitched kernel — input columns past a session's real
+        # neuron count are zero-padded, so rows [n_real:] of its kernel
+        # never contribute; slicing to the bucket width just stops paying
+        # gather bytes + GEMM FLOPs for them (forward is bit-identical,
+        # tests/test_multisession.py width-invariance).
+        n_in = inputs.shape[-1]
+        assert n_in <= N, f"input width {n_in} exceeds stitched width {N}"
+        W_in = W[:, :n_in, :] if n_in < N else W
         # scalar id: one shared (N, inter) kernel — plain GEMM. (B,) ids
         # (session-mixed batches): (B, N, inter) gather + batched GEMM —
         # the MXU runs B independent (T,N)x(N,inter) contractions.
-        w_s = jnp.take(W, session_id, axis=0).astype(self.dtype or inputs.dtype)
+        w_s = jnp.take(W_in, session_id, axis=0).astype(
+            self.dtype or inputs.dtype)
         x = inputs @ w_s
         if b is not None:
             b_s = jnp.take(b, session_id, axis=0).astype(x.dtype)
@@ -658,7 +669,7 @@ class SessionStitchedHead(nn.Module):
     hidden_size: int
 
     @nn.compact
-    def __call__(self, y, session_id):
+    def __call__(self, y, session_id, n_out: Optional[int] = None):
         S, H, N = self.n_sessions, self.hidden_size, self.n_channels
 
         def kernel_init(key, shape, dtype=jnp.float32):
@@ -667,6 +678,11 @@ class SessionStitchedHead(nn.Module):
 
         W = self.param("kernel", kernel_init, (S, H, N))
         b = self.param("bias", kernel_init, (S, N))
+        if n_out is not None and n_out < N:
+            # width-bucketed batch: predictions only for the bucket's
+            # channels (static slice — columns past every in-bucket
+            # session's real width carry no loss anyway)
+            W, b = W[:, :, :n_out], b[:, :n_out]
         w_s = jnp.take(W, session_id, axis=0).astype(y.dtype)
         b_s = jnp.take(b, session_id, axis=0).astype(y.dtype)
         return y @ w_s + (b_s[:, None, :] if b_s.ndim == 2 else b_s)

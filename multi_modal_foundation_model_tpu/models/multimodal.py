@@ -321,6 +321,15 @@ class MultiModal(nn.Module):
         mc = self.config
         active = bool(mc.force_active) or training
         regions_arg = regions if mod == "ap" else None
+        if (regions_arg is not None
+                and regions_arg.region_ids.shape[-1] > d.inputs.shape[-1]):
+            # width-bucketed batch: the region table is built at the global
+            # N_max; the masker must see ids aligned with THIS bucket's
+            # channel axis (ids past a session's real width are -1 padding
+            # either way, so the static slice drops only padding columns)
+            regions_arg = dataclasses.replace(
+                regions_arg,
+                region_ids=regions_arg.region_ids[..., :d.inputs.shape[-1]])
 
         if masking_mode is not None:
             key = self.make_rng("mask")
@@ -490,7 +499,10 @@ class MultiModal(nn.Module):
         for i, mod in enumerate(mc.avail_mod):
             y_mod = y[:, i * T:(i + 1) * T, :]
             if self.stitched and mod == "ap":
-                preds = self.out_proj[mod](y_mod, session_id)
+                # head width follows the (possibly bucket-narrowed) input
+                preds = self.out_proj[mod](
+                    y_mod, session_id,
+                    n_out=mod_inputs[mod].inputs.shape[-1])
             else:
                 preds = self.out_proj[mod](y_mod)
             preds = preds.astype(jnp.float32)

@@ -39,12 +39,65 @@ from .schedule import OptimizerConfig
 from .trainer import MultiModalTrainer, TrainerConfig, _with_tp
 
 
+def _bucket_session_widths(
+    num_neurons: Sequence[int], num_trials: Sequence[int],
+    pad_multiple: int, n_buckets: int,
+) -> List[int]:
+    """Per-session padded widths for ``n_buckets`` shape buckets.
+
+    Partitions sessions (sorted by neuron count) into at most ``n_buckets``
+    contiguous groups; each group pads to its widest member's
+    lane-quantized width. The split minimizes total padded *cells*
+    (``(bucket_width - n_neurons) * n_trials`` summed over sessions) by
+    exact dynamic programming — session counts are small (O(100)), so the
+    O(S^2 * n_buckets) DP is free. ``n_buckets=1`` reproduces the single
+    global N_max every session previously padded to.
+    """
+    S = len(num_neurons)
+    order = sorted(range(S), key=lambda i: num_neurons[i])
+
+    def q(w: int) -> int:
+        return ((w + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    # group cost of sorted sessions [j, i): pad to q(width of i-1)
+    INF = float("inf")
+    nb = min(n_buckets, S)
+    dp = [[INF] * (nb + 1) for _ in range(S + 1)]
+    back = [[0] * (nb + 1) for _ in range(S + 1)]
+    dp[0][0] = 0.0
+    for i in range(1, S + 1):
+        for k in range(1, nb + 1):
+            w_i = q(num_neurons[order[i - 1]])
+            cost = 0.0
+            for j in range(i - 1, -1, -1):
+                if j < i - 1:
+                    s = order[j]
+                    cost += (w_i - num_neurons[s]) * num_trials[s]
+                # sessions j..i-1 form one bucket of width w_i
+                e = order[i - 1]
+                total = cost + (w_i - num_neurons[e]) * num_trials[e]
+                if dp[j][k - 1] + total < dp[i][k]:
+                    dp[i][k] = dp[j][k - 1] + total
+                    back[i][k] = j
+    k_best = min(range(1, nb + 1), key=lambda k: dp[S][k])
+    widths = [0] * S
+    i, k = S, k_best
+    while i > 0:
+        j = back[i][k]
+        w = q(num_neurons[order[i - 1]])
+        for t in range(j, i):
+            widths[order[t]] = w
+        i, k = j, k - 1
+    return widths
+
+
 def build_multisession_loaders(
     sessions: Dict[str, SessionSplits],
     batch_size: int,
     *,
     max_time_length: int = 100,
     pad_multiple: int = 128,
+    n_buckets: int = 1,
     target: Optional[Sequence[str]] = None,
     seed: int = 42,
 ) -> Tuple[Dict[str, DataLoader], Dict[str, DataLoader], Dict[str, DataLoader],
@@ -52,12 +105,25 @@ def build_multisession_loaders(
     """(train, val, test) loader dicts + meta (N_max, sid map, region table).
 
     Builds a shared region vocabulary across sessions so region ids are
-    comparable, pads every session's space axis to one lane-friendly
-    ``N_max``, and assembles the stacked RegionTable.
+    comparable, pads every session's space axis to a lane-friendly bucket
+    width, and assembles the stacked RegionTable.
+
+    ``n_buckets`` (default 1 = one global ``N_max``) groups sessions into
+    up to that many padded-width buckets: a 200-neuron session in an
+    80-session mix no longer pays the 640-wide stitched tokenizer/head
+    GEMMs of the widest session — it runs a static slice of the same
+    stitched parameters at its bucket's width (models/layers.py
+    SessionStitchedTokenizer/Head), one compiled program per bucket.
+    The reference's analog is same-neuron-count batch grouping
+    (``loader/base.py:150-179``); buckets generalize it to
+    few-compilations groups with padding.
     """
     eids = sorted(sessions.keys())
-    n_max_raw = max(sessions[e].n_neurons for e in eids)
-    n_max = ((n_max_raw + pad_multiple - 1) // pad_multiple) * pad_multiple
+    widths = _bucket_session_widths(
+        [sessions[e].n_neurons for e in eids],
+        [sessions[e].train.n_trials for e in eids],
+        pad_multiple, n_buckets)
+    n_max = max(widths)
 
     region_vocab: Dict[str, int] = {}
     for e in eids:
@@ -66,9 +132,9 @@ def build_multisession_loaders(
 
     train, val, test = {}, {}, {}
     per_session_region_ids: List[np.ndarray] = []
-    for e in eids:
+    for e, w in zip(eids, widths):
         kw = dict(batch_size=batch_size, target=target,
-                  max_time_length=max_time_length, max_space_length=n_max,
+                  max_time_length=max_time_length, max_space_length=w,
                   region_vocab=region_vocab, seed=seed)
         train[e] = make_loader(sessions[e].train, **kw)
         val[e] = make_loader(sessions[e].val, shuffle=False, **kw)
@@ -80,6 +146,7 @@ def build_multisession_loaders(
         "eid_to_sid": {e: i for i, e in enumerate(eids)},
         "num_neurons": [sessions[e].n_neurons for e in eids],
         "n_max": n_max,
+        "bucket_widths": {e: w for e, w in zip(eids, widths)},
         "region_vocab": region_vocab,
         "per_session_region_ids": per_session_region_ids,
     }
@@ -114,13 +181,15 @@ class MultiSessionTrainer(MultiModalTrainer):
         first = next(iter(train_loaders))
         total_batches = sum(len(l) for l in train_loaders.values())
         self._total_batches = total_batches
-        # session-mixed batches draw from one global trial pool, so an
-        # epoch is ceil(total_trials/B) steps — NOT the sum of per-session
-        # batch counts (which over-counts ragged per-session tails and
-        # would size the OneCycle schedule for steps that never run)
-        total_trials = sum(l.n_trials for l in train_loaders.values())
+        # session-mixed batches draw from one trial pool per shape bucket,
+        # so an epoch is sum over buckets of ceil(bucket_trials/B) steps —
+        # NOT the sum of per-session batch counts (which over-counts every
+        # session's ragged tail and would size the OneCycle schedule for
+        # steps that never run). One bucket == ceil(total/B).
         B = train_loaders[first].batch_size
-        self._mixed_batches = -(-total_trials // B)
+        self._mixed_batches = sum(
+            -(-sum(train_loaders[e].n_trials for e in grp) // B)
+            for grp in self._stack_groups())
         super().__init__(
             model, train_loaders[first], eval_loaders[first] if eval_loaders
             else None, optimizer_config, trainer_config,
@@ -309,17 +378,33 @@ class MultiSessionTrainer(MultiModalTrainer):
         return {"train_loss": train_loss,
                 "train_loss_avg": train_loss / max(len(losses), 1)}
 
-    def _stacked_train_data(self):
-        """All train sessions' splits concatenated along the trial axis in
-        ONE resident HBM block, plus per-eid trial offsets. Requires every
-        session to share padded shapes (one N_max bucket — what
-        ``build_multisession_loaders`` produces); caller checks
-        ``_can_stack()``. Cached against the exact loader objects."""
-        loaders = tuple(self.train_loaders[e] for e in self.train_loaders)
+    def _stack_groups(self) -> List[Tuple[str, ...]]:
+        """Train eids grouped by device-resident array signature (one
+        group per padded-shape bucket — ``build_multisession_loaders
+        (n_buckets=...)``). Group order follows first appearance in
+        ``train_loaders`` so schedules are deterministic."""
+        groups: Dict[tuple, List[str]] = {}
+        for e, l in self.train_loaders.items():
+            sig = tuple((l.arrays[k].shape[1:], l.arrays[k].dtype.str)
+                        for k in self._DR_KEYS)
+            groups.setdefault(sig, []).append(e)
+        return [tuple(v) for v in groups.values()]
+
+    def _stacked_train_data(self, eids: Optional[Tuple[str, ...]] = None):
+        """``eids``' train splits concatenated along the trial axis in ONE
+        resident HBM block, plus per-eid trial offsets. The eids must share
+        padded shapes (one bucket — ``_stack_groups`` rows qualify;
+        default: all sessions, which requires ``_can_stack()``). Cached
+        per eid-tuple against the exact loader objects."""
+        eids = tuple(self.train_loaders) if eids is None else tuple(eids)
+        loaders = tuple(self.train_loaders[e] for e in eids)
         cache = getattr(self, "_stacked_train_cache", None)
-        if (cache is not None and len(cache[0]) == len(loaders)
-                and all(a is b for a, b in zip(cache[0], loaders))):
-            return cache[1], cache[2]
+        if cache is None:
+            cache = self._stacked_train_cache = {}
+        hit = cache.get(eids)
+        if (hit is not None and len(hit[0]) == len(loaders)
+                and all(a is b for a, b in zip(hit[0], loaders))):
+            return hit[1], hit[2]
         host = {k: np.concatenate([np.asarray(l.arrays[k]) for l in loaders],
                                   axis=0)
                 for k in self._DR_KEYS}
@@ -328,16 +413,16 @@ class MultiSessionTrainer(MultiModalTrainer):
         host["session_ids"] = np.concatenate(
             [np.full(len(l.arrays["spikes_data"]),
                      self.eid_to_sid[e], np.int32)
-             for e, l in zip(self.train_loaders, loaders)])
+             for e, l in zip(eids, loaders)])
         data = {k: jnp.asarray(v) for k, v in host.items()}
         if self.mesh is not None:
             from ..parallel import replicated_sharding
             data = jax.device_put(data, replicated_sharding(self.mesh))
         offsets, pos = {}, 0
-        for e in self.train_loaders:
+        for e, l in zip(eids, loaders):
             offsets[e] = pos
-            pos += len(self.train_loaders[e].arrays["spikes_data"])
-        self._stacked_train_cache = (loaders, data, offsets)
+            pos += len(l.arrays["spikes_data"])
+        cache[eids] = (loaders, data, offsets)
         return data, offsets
 
     def _can_stack(self) -> bool:
@@ -435,29 +520,247 @@ class MultiSessionTrainer(MultiModalTrainer):
         self._train_steps[key] = self._tp_wrap(step)
         return self._train_steps[key]
 
-    def _train_epoch_dr_mixed(self, epoch: int, K: int):
-        """Session-mixed device-resident epoch: ONE global deterministic
-        permutation of every session's train trials, cut into always-full
-        B-batches (one short tail, valid-masked). Each batch mixes
-        sessions freely; host RNG draws one scheme per step (one objective
-        per K-group with mixed training), matching the stacked path."""
-        data, _ = self._stacked_train_data()
-        total = int(data["session_ids"].shape[0])
+    # ------------------------------------------------------------------
+    # DP-sharded resident blocks (TrainerConfig.shard_resident_sessions):
+    # past ~380 resident sessions one replicated block exceeds per-chip
+    # HBM; here each DP shard holds only ITS sessions' trials and batches
+    # gather shard-locally (docs/parallelism.md).
+    # ------------------------------------------------------------------
+
+    def _shard_assignment(self, eids: Tuple[str, ...]):
+        """Greedy balanced assignment of ``eids`` to the mesh's dp shards
+        (largest-trials-first into the lightest shard). Deterministic from
+        loader metadata every process holds, so hosts agree without
+        communication. Returns (shard_eids, L) with L = the padded
+        per-shard row count (max shard load)."""
+        dp = int(self.mesh.shape["data"])
+        order = sorted(eids, key=lambda e: (-self.train_loaders[e].n_trials,
+                                            e))
+        shard_eids: List[List[str]] = [[] for _ in range(dp)]
+        load = [0] * dp
+        for e in order:
+            s = min(range(dp), key=lambda t: (load[t], t))
+            shard_eids[s].append(e)
+            load[s] += self.train_loaders[e].n_trials
+        return [tuple(s) for s in shard_eids], max(max(load), 1)
+
+    def _sharded_train_data(self, eids: Tuple[str, ...]):
+        """One bucket's resident block SHARDED over the 'data' axis:
+        global leading dim dp*L, shard s = rows [s*L, (s+1)*L) holding
+        shard s's sessions' trials (zero-padded to L — padded rows are
+        never sampled). Built with
+        ``jax.make_array_from_process_local_data`` so each process
+        materializes only the rows its local devices own: resident HBM
+        and host RAM scale 1/n_hosts with session count. Returns
+        (data, shard_eids, pools) where pools[s] = shard s's real trial
+        count."""
+        eids = tuple(eids)
+        cache = getattr(self, "_sharded_train_cache", None)
+        if cache is None:
+            cache = self._sharded_train_cache = {}
+        if eids in cache:
+            return cache[eids]
+        shard_eids, L = self._shard_assignment(eids)
+        dp = len(shard_eids)
+        sh = jax.sharding.NamedSharding(self.mesh,
+                                        jax.sharding.PartitionSpec("data"))
+        pid = jax.process_index()
+        devs = self.mesh.devices  # (dp,) or (dp, tp)
+        owned = [s for s in range(dp)
+                 if any(d.process_index == pid
+                        for d in np.atleast_1d(devs[s]))]
+
+        def shard_rows(s: int, k: str) -> np.ndarray:
+            parts = [np.asarray(self.train_loaders[e].arrays[k])
+                     if k != "session_ids"
+                     else np.full(self.train_loaders[e].n_trials,
+                                  self.eid_to_sid[e], np.int32)
+                     for e in shard_eids[s]]
+            block = (np.concatenate(parts, axis=0) if parts
+                     else np.zeros((0,), np.int32))
+            pad = L - block.shape[0]
+            if parts and pad:
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + block.shape[1:],
+                                     block.dtype)], axis=0)
+            elif not parts:
+                ref_e = eids[0]
+                ref = (np.asarray(self.train_loaders[ref_e].arrays[k])
+                       if k != "session_ids"
+                       else np.zeros(1, np.int32))
+                block = np.zeros((L,) + ref.shape[1:], ref.dtype)
+            return block
+
+        data = {}
+        for k in self._DR_KEYS + ("session_ids",):
+            local = np.concatenate([shard_rows(s, k) for s in owned], axis=0)
+            data[k] = jax.make_array_from_process_local_data(sh, local)
+        pools = [sum(self.train_loaders[e].n_trials for e in grp)
+                 for grp in shard_eids]
+        cache[eids] = (data, shard_eids, pools)
+        return cache[eids]
+
+    def _get_sharded_mixed_step_dr(self, training_mode, use_mtm, scan: bool):
+        """Session-mixed step over a DP-SHARDED resident block: ``idx`` is
+        a (B,) vector whose segment s carries LOCAL row offsets into shard
+        s, gathered under ``shard_map`` so every trial read stays on the
+        device that owns it — the batch lands already 'data'-sharded for
+        the DP compute, zero collective traffic for data. Batches are
+        always full (shards cycle their pools), so no valid-masking."""
+        key = ("ms-dr-shard-scan" if scan else "ms-dr-shard",
+               training_mode, use_mtm)
+        if key in self._train_steps:
+            return self._train_steps[key]
+
+        mtm_modes = tuple(self.masking_schemes or ())
+        table = self.region_table
+        mesh = self.mesh
+        pspec = jax.sharding.PartitionSpec("data")
+
+        def gather_local(data, idx):
+            take = lambda d, i: jax.tree_util.tree_map(
+                lambda v: jnp.take(v, i, axis=0), d)
+            return jax.shard_map(take, mesh=mesh, in_specs=(pspec, pspec),
+                                 out_specs=pspec, check_vma=False)(data, idx)
+
+        def one_step(st, data, idx, scheme_id, base_key):
+            batch = gather_local(data, idx)
+            sids = batch.pop("session_ids")
+            return self._grad_scan_step(
+                st, batch, scheme_id, training_mode, use_mtm, mtm_modes,
+                table.select(sids), base_key, session_id=sids,
+                space_attn_mask=batch["space_attn_mask"])
+
+        if scan:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step(state, data, idxs, schemes, base_key):
+                def body(st, xs):
+                    idx, scheme_id = xs
+                    return one_step(st, data, idx, scheme_id, base_key)
+                return jax.lax.scan(body, state, (idxs, schemes))
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step(state, data, idx, scheme_id, base_key):
+                return one_step(state, data, idx, scheme_id, base_key)
+
+        self._train_steps[key] = self._tp_wrap(step)
+        return self._train_steps[key]
+
+    def _train_epoch_dr_mixed_sharded(self, epoch: int, K: int):
+        """Sharded-block variant of the mixed epoch: per bucket, each DP
+        shard contributes B/dp trials per step from ITS sessions
+        (stratified batches; within-shard uniform without replacement,
+        pools reshuffled per cycle). Steps per bucket = ceil(total/B), so
+        shards lighter than average cycle early and heavier ones leave a
+        tail unsampled this epoch — exact per-epoch coverage returns when
+        shard loads balance (the assignment is greedy-balanced). The whole
+        schedule derives from (seed, epoch), identical on every host."""
+        groups = self._stack_groups()
         B = self.train_loaders[next(iter(self.train_loaders))].batch_size
-        rng = np.random.default_rng((self.tcfg.seed, epoch, 11))
-        perm = rng.permutation(total)
-        batches = []
-        for s in range(0, total, B):
-            chunk = perm[s:s + B]
-            valid = np.ones(B, np.float32)
-            if len(chunk) < B:
-                valid[len(chunk):] = 0.0
-                chunk = np.pad(chunk, (0, B - len(chunk)))
-            batches.append((chunk.astype(np.int64), valid))
+        dp = int(self.mesh.shape["data"])
+        if B % dp:
+            raise ValueError(f"batch_size {B} must divide by dp={dp}")
+        bq = B // dp
         use_mtm = bool(self.masking_schemes)
+        blocks, step_groups = {}, []
+        for gi, eids in enumerate(groups):
+            data, shard_eids, pools = self._sharded_train_data(eids)
+            blocks[gi] = data
+            n_steps = -(-sum(pools) // B)
+            # per-shard without-replacement streams, reshuffled per cycle
+            streams = []
+            for s, pool in enumerate(pools):
+                rows = []
+                cyc = 0
+                while len(rows) < n_steps * bq:
+                    rng = np.random.default_rng(
+                        (self.tcfg.seed, epoch, 17, gi, s, cyc))
+                    rows.extend(rng.permutation(max(pool, 1)).tolist())
+                    cyc += 1
+                streams.append(rows)
+            batches = []
+            for t in range(n_steps):
+                idx = np.concatenate([
+                    np.asarray(streams[s][t * bq:(t + 1) * bq], np.int64)
+                    for s in range(dp)])
+                batches.append(idx)
+            for start in range(0, len(batches), K):
+                step_groups.append((gi, batches[start:start + K]))
+        if len(groups) > 1:
+            np.random.default_rng(
+                (self.tcfg.seed, epoch, 13)).shuffle(step_groups)
+        sh_idx = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("data"))
         losses = []
-        for start in range(0, len(batches), K):
-            group = batches[start:start + K]
+        for gi, group in step_groups:
+            data = blocks[gi]
+            if len(group) < K or K == 1:
+                for idx in group:
+                    training_mode, scheme_id = self._sample_modes()
+                    step = self._get_sharded_mixed_step_dr(
+                        training_mode, use_mtm, scan=False)
+                    self.state, loss = step(
+                        self.state, data, jax.device_put(idx, sh_idx),
+                        jnp.asarray(scheme_id if scheme_id is not None
+                                    else 0, jnp.int32), self.base_key)
+                    losses.append(jnp.atleast_1d(loss))
+                continue
+            training_mode, schemes = self._sample_group_modes(len(group))
+            mstep = self._get_sharded_mixed_step_dr(training_mode, use_mtm,
+                                                    scan=True)
+            idxs = jax.device_put(
+                np.stack(group),
+                jax.sharding.NamedSharding(
+                    self.mesh,
+                    jax.sharding.PartitionSpec(None, "data")))
+            self.state, ls = mstep(self.state, data, idxs,
+                                   jnp.asarray(schemes, jnp.int32),
+                                   self.base_key)
+            losses.append(ls)
+        train_loss = (float(jnp.concatenate(losses).sum())
+                      if losses else 0.0)
+        n_steps = sum(len(l) for l in losses)
+        return {"train_loss": train_loss,
+                "train_loss_avg": train_loss / max(n_steps, 1)}
+
+    def _train_epoch_dr_mixed(self, epoch: int, K: int):
+        """Session-mixed device-resident epoch: per shape bucket, ONE
+        deterministic permutation of the bucket's train trials, cut into
+        always-full B-batches (one short tail per bucket, valid-masked).
+        Each batch mixes the bucket's sessions freely; host RNG draws one
+        scheme per step (one objective per K-group with mixed training),
+        matching the stacked path. With ``n_buckets > 1`` the buckets'
+        K-groups interleave under a deterministic (seed, epoch) shuffle —
+        one compiled program per bucket width, narrow buckets skipping the
+        widest bucket's tokenizer/head padding FLOPs entirely."""
+        groups = self._stack_groups()
+        B = self.train_loaders[next(iter(self.train_loaders))].batch_size
+        use_mtm = bool(self.masking_schemes)
+        blocks, step_groups = {}, []
+        for gi, eids in enumerate(groups):
+            data, _ = self._stacked_train_data(eids)
+            blocks[gi] = data
+            total = int(data["session_ids"].shape[0])
+            rng = np.random.default_rng(
+                (self.tcfg.seed, epoch, 11) if len(groups) == 1
+                else (self.tcfg.seed, epoch, 11, gi))
+            perm = rng.permutation(total)
+            batches = []
+            for s in range(0, total, B):
+                chunk = perm[s:s + B]
+                valid = np.ones(B, np.float32)
+                if len(chunk) < B:
+                    valid[len(chunk):] = 0.0
+                    chunk = np.pad(chunk, (0, B - len(chunk)))
+                batches.append((chunk.astype(np.int64), valid))
+            for start in range(0, len(batches), K):
+                step_groups.append((gi, batches[start:start + K]))
+        if len(groups) > 1:
+            np.random.default_rng(
+                (self.tcfg.seed, epoch, 13)).shuffle(step_groups)
+        losses = []
+        for gi, group in step_groups:
+            data = blocks[gi]
             if len(group) < K or K == 1:
                 for idx, valid in group:
                     training_mode, scheme_id = self._sample_modes()
@@ -508,11 +811,14 @@ class MultiSessionTrainer(MultiModalTrainer):
         neuron buckets."""
         K = max(1, self.tcfg.steps_per_dispatch)
         if self.tcfg.mixed_session_batches:
-            if not self._can_stack():
-                raise ValueError(
-                    "mixed_session_batches needs every session in one "
-                    "padded-shape bucket (build_multisession_loaders "
-                    "guarantees this)")
+            # batches mix sessions within a shape bucket; heterogeneous
+            # buckets each get their own block + compiled program
+            if self.tcfg.shard_resident_sessions:
+                if self.mesh is None:
+                    raise ValueError(
+                        "shard_resident_sessions needs a mesh with a "
+                        "'data' axis (build_mesh)")
+                return self._train_epoch_dr_mixed_sharded(epoch, K)
             return self._train_epoch_dr_mixed(epoch, K)
         if K > 1:
             if self.tcfg.stacked_scan and self._can_stack():

@@ -103,6 +103,22 @@ class TrainerConfig:
     # samples. New capability beyond the reference (its sampler groups
     # same-session trials only — loader/base.py:150-179).
     mixed_session_batches: bool = False
+    # mixed_session_batches + mesh only: shard each resident block over the
+    # 'data' axis instead of replicating it — sessions are assigned to DP
+    # shards (balanced by trial count) and every process materializes ONLY
+    # its own shards' sessions (jax.make_array_from_process_local_data), so
+    # resident HBM and host RAM scale 1/n_hosts with session count (the
+    # >380-session regime, docs/parallelism.md). Each batch is then
+    # STRATIFIED: B/dp trials drawn per shard from that shard's sessions
+    # (a shard_map gather — zero cross-device traffic), vs. the replicated
+    # path's global uniform draw. Shards cycle their pools independently,
+    # so per-epoch trial coverage is exact only when shard loads balance.
+    shard_resident_sessions: bool = False
+    # >0: retry a compiled step's first call when it dies on a TRANSIENT
+    # remote-compile abort (tunneled backends; utils/prewarm.py). Big
+    # programs (K=32 scans, B=256 mixed steps) otherwise go unmeasured on
+    # flaky remote-compile windows. 0 = raise immediately (default).
+    compile_retries: int = 0
 
     @classmethod
     def from_config(cls, cfg, **overrides) -> "TrainerConfig":
@@ -134,6 +150,9 @@ class TrainerConfig:
             stacked_scan=bool(t.get("stacked_scan", True)),
             mixed_session_batches=bool(
                 t.get("mixed_session_batches", False)),
+            shard_resident_sessions=bool(
+                t.get("shard_resident_sessions", False)),
+            compile_retries=int(t.get("compile_retries", 0)),
         )
         masker = (cfg.get("model", {}) or {}).get("masker", None)
         if masker is not None:
@@ -319,7 +338,12 @@ class MultiModalTrainer:
     def _tp_wrap(self, fn):
         """Invoke ``fn`` inside this trainer's TP-attention context so (re)
         tracing from ANY call site (epoch loops, dryruns, subclasses) picks
-        up the shard_map-wrapped fused kernel. No-op without a TP mesh."""
+        up the shard_map-wrapped fused kernel. No-op without a TP mesh.
+        Also applies the transient-compile retry policy
+        (``TrainerConfig.compile_retries``, utils/prewarm.py)."""
+        if self.tcfg.compile_retries > 0:
+            from ..utils.prewarm import retry_transient
+            fn = retry_transient(fn, retries=self.tcfg.compile_retries)
         if getattr(self, "_tp_mesh", None) is None:
             return fn
         from ..ops.attention import tp_attention

@@ -52,11 +52,25 @@ def main():
     ap.add_argument("--no_stacked_scan", action="store_true",
                     help="disable cross-session scan groups (fall back to "
                          "per-session grouping) for A/B")
+    ap.add_argument("--n_buckets", type=int, default=1,
+                    help="padded-width shape buckets (2-3 recommended for "
+                         "wide neuron-count spreads): narrow sessions stop "
+                         "paying the widest session's stitched GEMM "
+                         "padding; one compiled program per bucket")
     ap.add_argument("--mixed_session_batches", action="store_true",
                     help="draw each batch's trials from ALL sessions (per-"
                          "sample session ids through the stitched gathers); "
                          "keeps batches full in the many-sessions/few-"
                          "trials regime")
+    ap.add_argument("--shard_sessions", action="store_true",
+                    help="with --mixed_session_batches and --dp > 1: shard "
+                         "each resident block over the 'data' axis — every "
+                         "host keeps only ITS sessions (HBM scales 1/hosts "
+                         "with session count; batches stratify per shard)")
+    ap.add_argument("--compile_retries", type=int, default=0,
+                    help="retry a step's first call on TRANSIENT remote-"
+                         "compile aborts (big K/B programs through the "
+                         "tunnel; utils/prewarm.py)")
     ap.add_argument("--resume", action="store_true",
                     help="restore model_last from log_dir and continue")
     args = ap.parse_args()
@@ -91,7 +105,8 @@ def main():
     T = int(config.data.max_time_length)
     train, val, _, meta = build_multisession_loaders(
         sessions, batch_size=bs, max_time_length=T,
-        pad_multiple=args.pad_multiple, target=avail_beh, seed=args.seed)
+        pad_multiple=args.pad_multiple, n_buckets=args.n_buckets,
+        target=avail_beh, seed=args.seed)
     table = RegionTable.build(meta["per_session_region_ids"],
                               region_vocab=meta["region_vocab"])
 
@@ -129,6 +144,10 @@ def main():
         overrides["stacked_scan"] = False
     if args.mixed_session_batches:
         overrides["mixed_session_batches"] = True
+    if args.shard_sessions:
+        overrides["shard_resident_sessions"] = True
+    if args.compile_retries:
+        overrides["compile_retries"] = args.compile_retries
     tcfg = TrainerConfig.from_config(config, **overrides)
 
     trainer = MultiSessionTrainer(

@@ -129,6 +129,10 @@ _TRAINER_WORKER = textwrap.dedent("""
     if case == "dp":        # pure DP, dropout live, stacked K=2 scan
         model_kw = dict(dropout=0.1, embed_dropout=0.1, attn_impl="xla")
         tcfg_kw = dict(steps_per_dispatch=2, stacked_scan=True)
+    elif case == "shard":   # DP-sharded resident block, mixed batches
+        model_kw = dict(dropout=0.0, embed_dropout=0.0, attn_impl="xla")
+        tcfg_kw = dict(mixed_session_batches=True,
+                       shard_resident_sessions=True, steps_per_dispatch=2)
     else:                   # dp x tp through the shard_map kernel path
         model_kw = dict(dropout=0.0, embed_dropout=0.0, attn_impl="pallas")
         tcfg_kw = {}
@@ -152,7 +156,18 @@ _TRAINER_WORKER = textwrap.dedent("""
             params, jnp.float32(0.0))
 
     cs = float(checksum(tr.state.params))
-    print(f"RESULT pid={pid} loss={out['train_loss']:.9e} cs={cs:.9e}",
+    localrows = -1
+    if case == "shard":
+        # each process materialized ONLY its local shards' rows: its
+        # addressable slice of the block is global_rows * local_dev/total
+        (data, shard_eids, pools), = tr._sharded_train_cache.values()
+        blk = data["spikes_data"]
+        localrows = sum(s.data.shape[0] for s in blk.addressable_shards
+                        if s.replica_id == 0)
+        assert localrows * nprocs == blk.shape[0] * 1, (
+            localrows, blk.shape)
+    print(f"RESULT pid={pid} loss={out['train_loss']:.9e} cs={cs:.9e}"
+          f" localrows={localrows}",
           flush=True)
 """) % {"repo": REPO}
 
@@ -189,12 +204,16 @@ def _run_trainer_procs(nprocs, dp, tp, local_dev, case, timeout=600):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case,dp,tp", [("dp", 4, 1), ("dptp", 2, 2)])
+@pytest.mark.parametrize("case,dp,tp",
+                         [("dp", 4, 1), ("dptp", 2, 2), ("shard", 4, 1)])
 def test_multisession_trainer_two_process_matches_single(case, dp, tp):
     """One MultiSessionTrainer epoch (device-resident, stitched gathers,
     stacked cross-session scan for the DP case; shard_map Pallas kernel
-    for the dp x tp case) over 2 processes x 2 CPU devices produces the
-    same loss + final-param checksum as the single-process 4-device run."""
+    for the dp x tp case; DP-SHARDED resident block with session-mixed
+    stratified batches for the shard case — each process materializes
+    only its own sessions, asserted inside the worker) over 2 processes
+    x 2 CPU devices produces the same loss + final-param checksum as the
+    single-process 4-device run."""
     multi = _run_trainer_procs(2, dp, tp, local_dev=2, case=case)
     single = _run_trainer_procs(1, dp, tp, local_dev=4, case=case)
     # both processes of the distributed run agree (replicated outputs)

@@ -526,6 +526,172 @@ def test_mixed_session_batches_trainer(tmp_path):
     assert np.isfinite(res["best_eval_trial_avg_r2"])
 
 
+def test_width_bucketed_forward_matches_full_width():
+    """Width-bucketed inputs (train/multisession.py buckets): a stitched
+    model built at N_max fed a bucket-narrowed 'ap' input (zero-padded
+    past each session's real units, like the full-width input is) must
+    produce bit-identical predictions on the bucket's channels and the
+    identical loss — the tokenizer runs on a static row-slice of its
+    stitched kernel (rows past the bucket width only ever multiply zero
+    input columns) and the head on a static column-slice (columns past
+    the bucket width carry no loss under the space mask either way)."""
+    n_max, n_bucket, n_real = 64, 32, 24
+    model = stitched_model(n_max, dropout=0.0, embed_dropout=0.0)
+    B = 4
+    rng = np.random.default_rng(11)
+    spikes = np.zeros((B, T, n_max), np.float32)
+    spikes[:, :, :n_real] = rng.poisson(0.4, (B, T, n_real))
+    behavior = rng.normal(size=(B, T, 2)).astype(np.float32)
+    attn = jnp.ones((B, T), jnp.int32)
+    ts = jnp.tile(jnp.arange(T), (B, 1))
+    space = np.zeros((B, n_max), np.int32)
+    space[:, :n_real] = 1
+
+    def mk(width):
+        sp = jnp.asarray(spikes[:, :, :width])
+        return {
+            "ap": ModalityInput(inputs=sp, targets=sp, attn_mask=attn,
+                                timestamps=ts,
+                                eval_mask=jnp.ones_like(sp, jnp.int32)),
+            "behavior": ModalityInput(
+                inputs=jnp.asarray(behavior), targets=jnp.asarray(behavior),
+                attn_mask=attn, timestamps=ts,
+                eval_mask=jnp.zeros((B, T, 2), jnp.int32)),
+        }
+
+    sid = jnp.asarray(0, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, mk(n_max),
+                        training=False, session_id=sid)["params"]
+    out_full = model.apply({"params": params}, mk(n_max), training=False,
+                           session_id=sid,
+                           space_attn_mask=jnp.asarray(space))
+    out_bkt = model.apply({"params": params}, mk(n_bucket), training=False,
+                          session_id=sid,
+                          space_attn_mask=jnp.asarray(space[:, :n_bucket]))
+    np.testing.assert_allclose(
+        np.asarray(out_bkt.mod_preds["ap"]),
+        np.asarray(out_full.mod_preds["ap"])[:, :, :n_bucket],
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(out_bkt.loss), float(out_full.loss),
+                               rtol=1e-6)
+    assert float(out_bkt.mod_n_examples["ap"]) == B * T * n_real
+    assert float(out_full.mod_n_examples["ap"]) == B * T * n_real
+
+    # gradients agree on the shared kernel slice and vanish past it —
+    # a bucketed step updates exactly the full-width step's parameters
+    def loss_at(width):
+        def f(p):
+            return model.apply(
+                {"params": p}, mk(width), training=False, session_id=sid,
+                space_attn_mask=jnp.asarray(space[:, :width])).loss
+        return jax.grad(f)(params)
+
+    g_full = loss_at(n_max)
+    g_bkt = loss_at(n_bucket)
+    tok = "encoder_tokenizers_ap"
+    gf = np.asarray(jax.tree_util.tree_leaves(
+        {k: v for k, v in g_full[tok].items() if "kernel" in k})[0])
+    gb = np.asarray(jax.tree_util.tree_leaves(
+        {k: v for k, v in g_bkt[tok].items() if "kernel" in k})[0])
+    np.testing.assert_allclose(gb[:, :n_bucket], gf[:, :n_bucket],
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(gb[:, n_bucket:]).max() == 0.0
+    assert np.abs(gf[:, n_bucket:]).max() == 0.0  # zero input columns
+
+    # region-conditioned masking with the GLOBAL-width region table over a
+    # bucket-narrowed input: the model slices the table rows to the bucket
+    # width (multimodal._resolve_masks) — must trace and mask only valid ids
+    _, _, _, meta = build_multisession_loaders(
+        sessions_fixture(), batch_size=16, max_time_length=T, pad_multiple=64)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    out_m = model.apply(
+        {"params": params}, mk(n_bucket),
+        masking_mode=jnp.asarray(0, jnp.int32), mtm_modes=("inter-region",),
+        regions=table.select(sid), training=True, session_id=sid,
+        space_attn_mask=jnp.asarray(space[:, :n_bucket]),
+        rngs={"mask": jax.random.PRNGKey(3),
+              "dropout": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(out_m.loss))
+
+
+def test_bucketed_loaders_pad_to_bucket_widths():
+    """n_buckets=2 on a 24/40-neuron pair at pad_multiple=16: each session
+    pads to ITS bucket width (32 / 48), n_max is the widest bucket, and
+    the space mask still counts only real units."""
+    sessions = sessions_fixture()
+    train, _, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=16,
+        n_buckets=2)
+    assert meta["bucket_widths"] == {"s_small": 32, "s_big": 48}
+    assert meta["n_max"] == 48
+    for e, loader in train.items():
+        assert loader.arrays["spikes_data"].shape[2] == \
+            meta["bucket_widths"][e]
+        assert loader.arrays["space_attn_mask"][0].sum() == \
+            sessions[e].n_neurons
+    # n_buckets=1 reproduces the old single global N_max
+    train1, _, _, meta1 = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=16,
+        n_buckets=1)
+    assert set(meta1["bucket_widths"].values()) == {48}
+
+
+def test_bucket_partition_minimizes_padded_cells():
+    """The width-bucket DP: 3 sessions (24, 40, 200 neurons) into 2
+    buckets must group the two narrow sessions (splitting 24|40,200 wastes
+    160*trials cells on the 40-neuron session; 24,40|200 wastes only 8)."""
+    from multi_modal_foundation_model_tpu.train.multisession import (
+        _bucket_session_widths)
+    widths = _bucket_session_widths([24, 40, 200], [50, 50, 50],
+                                    pad_multiple=8, n_buckets=2)
+    assert widths == [40, 40, 200]
+    # trial weighting matters: a heavy narrow session pulls the boundary
+    widths = _bucket_session_widths([24, 40, 200], [10000, 10, 10],
+                                    pad_multiple=8, n_buckets=2)
+    assert widths[0] == 24
+    # degenerate cases
+    assert _bucket_session_widths([30], [10], 16, 3) == [32]
+    assert _bucket_session_widths([30, 60], [10, 10], 16, 1) == [64, 64]
+
+
+def test_mixed_session_batches_bucketed_trainer(tmp_path):
+    """End-to-end mixed-session training with 2 width buckets: one stacked
+    block + compiled program per bucket, batches mix sessions within a
+    bucket, K-groups interleave across buckets; loss finite and the epoch
+    consumes every trial once (one ragged tail per bucket)."""
+    sessions = sessions_fixture()
+    train, val, _, meta = build_multisession_loaders(
+        sessions, batch_size=16, max_time_length=T, pad_multiple=16,
+        n_buckets=2)
+    table = RegionTable.build(meta["per_session_region_ids"],
+                              region_vocab=meta["region_vocab"])
+    model = stitched_model(meta["n_max"], n_sessions=len(meta["eids"]))
+    tr = MultiSessionTrainer(
+        model, train, val,
+        OptimizerConfig(lr=1e-3, wd=0.01),
+        TrainerConfig(num_epochs=2, log_dir=str(tmp_path), seed=0,
+                      mask_type="input",
+                      mask_mode=("temporal", "inter-region", "intra-region"),
+                      mixed_training=True, device_resident_data=True,
+                      mixed_session_batches=True, steps_per_dispatch=2),
+        region_table=table, eid_to_sid=meta["eid_to_sid"])
+    assert len(tr._stack_groups()) == 2
+    out = tr.train_epoch(0)
+    assert np.isfinite(out["train_loss"])
+    # one ragged tail PER BUCKET: 2 buckets x ceil(38/16) = 6 steps
+    n_steps = round(out["train_loss"] / out["train_loss_avg"])
+    assert n_steps == 6 == tr._steps_per_epoch()
+    res = tr.train()
+    assert np.isfinite(res["history"][-1]["train_loss"])
+    assert np.isfinite(res["best_eval_trial_avg_r2"])
+    # eval reports every session despite heterogeneous widths
+    ev = tr.eval_epoch()
+    assert set(ev["eval_per_session"]) == set(meta["eids"])
+    for m in ev["eval_per_session"].values():
+        assert all(np.isfinite(v) for v in m.values())
+
+
 def test_mixed_session_steps_per_epoch_sizes_schedule():
     """The OneCycle schedule must be sized to the steps the mixed epoch
     actually runs — ceil(total_trials/B) — not the sum of per-session

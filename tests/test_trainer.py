@@ -394,6 +394,8 @@ training:
   steps_per_dispatch: 8
   stacked_scan: false
   mixed_session_batches: true
+  shard_resident_sessions: true
+  compile_retries: 3
 model:
   masker:
     mask_regions: [CA1, DG]
@@ -415,6 +417,8 @@ model:
     assert tcfg.steps_per_dispatch == 8
     assert tcfg.stacked_scan is False
     assert tcfg.mixed_session_batches is True
+    assert tcfg.shard_resident_sessions is True
+    assert tcfg.compile_retries == 3
     assert tcfg.mask_regions == ("CA1", "DG")
     assert tcfg.target_regions == ("LP",)
 

@@ -96,3 +96,91 @@ def test_mfu_from_compiled_step():
 
     flops = MFUTracker.flops_of(f, x)
     assert flops == mfu.flops_per_step
+
+
+def test_aot_compile_retries_transient(monkeypatch):
+    """aot_compile: the lowered program's .compile() is retried (with
+    backoff) on transient remote-compile markers, raises immediately on
+    anything else, and the compiled executable runs."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_foundation_model_tpu.utils.prewarm import aot_compile
+
+    jitted = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.arange(4.0)
+
+    # happy path: executable computes
+    exe = aot_compile(jitted, x, retries=0)
+    assert float(exe(x)[3]) == 7.0
+
+    # transient failures then success
+    calls = {"n": 0}
+    real_lower = jitted.lower
+
+    class FlakyLowered:
+        def __init__(self, lowered):
+            self._lowered = lowered
+
+        def compile(self):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError(
+                    "INTERNAL: stream removed: remote_compile: read body: "
+                    "response body closed")
+            return self._lowered.compile()
+
+    flaky = jax.jit(lambda x: x - 1)
+    monkeypatch.setattr(
+        flaky, "lower", lambda *a, **k: FlakyLowered(real_lower(*a, **k)),
+        raising=False)
+    slept = []
+    import multi_modal_foundation_model_tpu.utils.prewarm as pw
+    monkeypatch.setattr(pw.time, "sleep", slept.append)
+    exe = pw.aot_compile(flaky, x, retries=3, backoff_s=2.0,
+                         log=lambda m: None)
+    assert calls["n"] == 3
+    assert slept == [2.0, 4.0]   # exponential backoff
+    assert float(exe(x)[0]) == 1.0
+
+    # non-transient: raise immediately
+    calls["n"] = -10**9
+    with __import__("pytest").raises(RuntimeError):
+        pw.aot_compile(flaky, x, retries=3, backoff_s=0.0,
+                       log=lambda m: None)
+
+
+def test_retry_transient_wrapper():
+    """retry_transient: retries only transient markers, preserves the
+    return value, gives up after the budget."""
+    from multi_modal_foundation_model_tpu.utils.prewarm import retry_transient
+    import multi_modal_foundation_model_tpu.utils.prewarm as pw
+    import pytest
+
+    pw_sleep, pw.time.sleep = pw.time.sleep, lambda s: None
+    try:
+        state = {"n": 0}
+
+        def flaky():
+            state["n"] += 1
+            if state["n"] < 3:
+                raise RuntimeError("UNAVAILABLE: remote_compile flake")
+            return 42
+
+        assert retry_transient(flaky, retries=3, log=lambda m: None)() == 42
+        assert state["n"] == 3
+
+        def hard():
+            raise ValueError("a real bug")
+
+        with pytest.raises(ValueError):
+            retry_transient(hard, retries=3, log=lambda m: None)()
+
+        state["n"] = 0
+        with pytest.raises(RuntimeError):
+            retry_transient(flaky, retries=1, log=lambda m: None)()
+    finally:
+        pw.time.sleep = pw_sleep
+
+    # retries=0 returns fn unchanged
+    f = lambda: 1
+    assert retry_transient(f, retries=0) is f
