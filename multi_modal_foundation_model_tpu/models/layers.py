@@ -211,18 +211,20 @@ REPLAY_DROPOUT = False
 # u8-threshold keep-mask generation (VERDICT r4 ask #7): jax.random's
 # bernoulli converts u32 bits to f32 and compares against the rate —
 # measured 39 us/site at (256,200,256); thresholding 8 random bits per
-# element on the integer lanes instead measured 21 us/site (~2x), a
-# ~0.3-0.5 ms/step lever across the model's ~13 live dropout sites.
-# Trade-offs, why it is DEFAULT OFF:
+# element on the integer lanes instead measured 21 us/site (~2x).
+# DEFAULT ON since round 5: the whole-step interleaved A/B at the
+# flagship B=256 shape measured 68.95 vs 70.69 ms/step (+2.5% seq/s,
+# RESULTS.md round 5). Semantics under the default:
 # - the keep probability quantizes to round((1-rate)*256)/256 (within
 #   1/512 of exact; survivors are rescaled by the exact quantized
 #   probability so the estimator stays unbiased);
-# - the keep-mask RNG STREAM CHANGES (bits vs bernoulli draw), so
+# - the keep-mask RNG STREAM differs from flax's bernoulli draw, so
 #   flipping the flag changes training trajectories — same contract as
-#   the in-kernel attention dropout's own stream.
+#   the in-kernel attention dropout's own stream. Set False for the
+#   legacy stream (bit-identical to ``nn.Dropout``).
 # Distribution parity + unbiasedness: tests/test_models.py
-# (test_u8_dropout_*); whole-step A/B: RESULTS.md round 5.
-U8_DROPOUT_BITS = False
+# (test_u8_dropout_*).
+U8_DROPOUT_BITS = True
 
 
 def _dropout_keep(key, rate: float, shape):

@@ -394,11 +394,14 @@ def test_replay_dropout_matches_saved_mask(monkeypatch):
     from the PRNG key in the backward must be bit-identical to the saved-
     mask default in both output and gradient (same bernoulli draw, same
     select/scale math). Also pins ReplayDropout == nn.Dropout under the
-    same rng stream."""
+    same rng stream — on the LEGACY bernoulli bit policy
+    (U8_DROPOUT_BITS=False; the round-5 default is the u8 stream, which
+    is distribution- but not bit-compatible with nn.Dropout)."""
     import flax.linen as nn
 
     from multi_modal_foundation_model_tpu.models import layers
 
+    monkeypatch.setattr(layers, "U8_DROPOUT_BITS", False)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 33))
     key = jax.random.PRNGKey(7)
 
